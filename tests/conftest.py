@@ -1,0 +1,32 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+Must set env vars before jax initializes a backend.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+# fp32 matmuls on CPU for parity tests
+os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "highest")
+
+import sys
+
+REFERENCE_ROOT = "/root/reference"
+if os.path.isdir(REFERENCE_ROOT) and REFERENCE_ROOT not in sys.path:
+    # Reference torch implementation used as a parity ORACLE in tests only.
+    sys.path.insert(0, REFERENCE_ROOT)
+
+import pytest  # noqa: E402
+
+
+def has_reference() -> bool:
+    return os.path.isdir(REFERENCE_ROOT)
+
+
+requires_reference = pytest.mark.skipif(
+    not has_reference(), reason="reference repo not mounted"
+)
