@@ -1,0 +1,92 @@
+"""Attention primitives.
+
+Single entry point `dot_product_attention` with pluggable backends:
+  * "xla"    — einsum with fp32 softmax; reference semantics, runs anywhere.
+  * "flash"  — Pallas TPU flash-attention kernel (ops/flash_attention.py),
+               fp32 accumulation, O(L) memory. Used for large spatial
+               self-attention (up to 72*128 = 9216 tokens at 1024-res).
+  * "auto"   — flash on TPU when shapes qualify, else xla.
+
+Shapes follow the (batch..., length, heads, head_dim) convention so leading
+batch axes (e.g. the (B, T) of spatial attention or (B, HW) of temporal
+attention) never need flattening — sharding constraints stay attached.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+_BACKEND = "auto"  # module default, overridable per call
+
+
+def set_default_backend(name: str) -> None:
+    global _BACKEND
+    assert name in ("auto", "xla", "flash")
+    _BACKEND = name
+
+
+def _use_flash(q, k, mask, backend: str) -> bool:
+    if backend == "xla":
+        return False
+    if mask is not None:
+        return False  # causal temporal masks are tiny (T<=16); xla path is fine
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except RuntimeError:
+        on_tpu = False
+    if backend == "flash":
+        return True
+    # auto: flash pays off for long query/kv lengths on TPU
+    return on_tpu and q.shape[-3] >= 512 and k.shape[-3] >= 512
+
+
+def xla_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mask: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """Reference-semantics attention: fp32 logits + softmax.
+
+    q: (..., Lq, H, D); k, v: (..., Lk, H, D). k/v may have fewer leading
+    batch dims than q (broadcast) — e.g. text context shared across frames.
+    mask: broadcastable to (..., H, Lq, Lk); positions where mask==False are
+    masked out (reference lvdm/modules/attention.py:111-115).
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    q32 = q.astype(jnp.float32)
+    k32 = k.astype(jnp.float32)
+    sim = jnp.einsum("...qhd,...khd->...hqk", q32, k32) * scale
+    if mask is not None:
+        neg = jnp.finfo(sim.dtype).max
+        sim = jnp.where(mask, sim, -neg)
+    attn = jax.nn.softmax(sim, axis=-1)
+    out = jnp.einsum("...hqk,...khd->...qhd", attn.astype(v.dtype), v)
+    return out.astype(q.dtype)
+
+
+def dot_product_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mask: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+    backend: Optional[str] = None,
+) -> jax.Array:
+    backend = backend or _BACKEND
+    # Shared context (e.g. text K/V common to all frames): insert size-1 axes
+    # before (L, H, D); einsum broadcasts without materializing the tile.
+    while k.ndim < q.ndim:
+        k = jnp.expand_dims(k, -4)
+        v = jnp.expand_dims(v, -4)
+    if _use_flash(q, k, mask, backend):
+        from dynamicrafter_tpu.ops.flash_attention import flash_attention
+
+        k = jnp.broadcast_to(k, q.shape[:-3] + k.shape[-3:])
+        v = jnp.broadcast_to(v, q.shape[:-3] + v.shape[-3:])
+        return flash_attention(q, k, v, scale=scale)
+    return xla_attention(q, k, v, mask=mask, scale=scale)

@@ -1,0 +1,47 @@
+"""Normalization layers with fp32 islands.
+
+The reference keeps GroupNorm in fp32 inside an otherwise fp16 network
+(lvdm/basics.py:76-87 GroupNormSpecific). We reproduce that: statistics and
+affine transform are computed in float32 and the result is cast back to the
+input dtype. TPU note: GroupNorm is bandwidth-bound; XLA fuses the casts into
+the surrounding elementwise ops so the fp32 island costs no extra HBM traffic.
+"""
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class GroupNorm(nn.Module):
+    """Channels-last GroupNorm over all dims after the first `num_batch_axes`.
+
+    For a (B, T, H, W, C) activation:
+      * num_batch_axes=2 -> per-frame statistics (torch GroupNorm on
+        (b t) c h w, the spatial-block convention)
+      * num_batch_axes=1 -> per-clip statistics (torch GroupNorm on
+        b c t h w, the temporal-block convention)
+    """
+
+    num_groups: int = 32
+    epsilon: float = 1e-5
+    num_batch_axes: int = 1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        orig_dtype = x.dtype
+        c = x.shape[-1]
+        g = self.num_groups
+        assert c % g == 0, f"channels {c} not divisible by groups {g}"
+
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+
+        x32 = x.astype(jnp.float32)
+        grouped = x32.reshape(*x.shape[:-1], g, c // g)
+        axes = tuple(range(self.num_batch_axes, grouped.ndim - 2)) + (grouped.ndim - 1,)
+        mean = jnp.mean(grouped, axis=axes, keepdims=True)
+        var = jnp.mean(jnp.square(grouped - mean), axis=axes, keepdims=True)
+        normed = (grouped - mean) * jnp.reciprocal(jnp.sqrt(var + self.epsilon))
+        normed = normed.reshape(x.shape)
+        out = normed * scale + bias
+        return out.astype(orig_dtype)

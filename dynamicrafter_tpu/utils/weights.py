@@ -1,0 +1,258 @@
+"""PyTorch checkpoint -> Flax param-pytree converter.
+
+Understands the released DynamiCrafter checkpoints, covering all three source
+formats (reference scripts/evaluation/inference.py:34-59,
+main/utils_train.py:138-160):
+  1. plain  {"state_dict": {...}}
+  2. the 256-model key rename framestride_embed -> fps_embedding
+  3. deepspeed "module."-prefixed keys (strip key[16:])
+
+Layout conventions converted here:
+  torch Linear  (O, I)          -> flax Dense kernel (I, O)
+  torch Conv2d  (O, I, kh, kw)  -> UNet (1, kh, kw, I, O)   [5D per-frame conv]
+                                -> VAE  (kh, kw, I, O)      [4D conv]
+  torch Conv3d  (O, I, kt, kh, kw) -> (kt, kh, kw, I, O)
+  torch Conv1d/2d 1x1 used as projections -> Dense kernel (I, O)
+  torch GroupNorm/LayerNorm weight -> 'scale'
+
+No torch import required to convert: accepts any mapping of str -> numpy.
+"""
+from __future__ import annotations
+
+import re
+from typing import Dict, Mapping
+
+import numpy as np
+
+
+def _t(x):
+    return np.ascontiguousarray(np.transpose(x))
+
+
+def _conv2d_to_5d(w):  # (O,I,kh,kw) -> (1,kh,kw,I,O)
+    return np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0))[None])
+
+
+def _conv2d_to_4d(w):  # (O,I,kh,kw) -> (kh,kw,I,O)
+    return np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0)))
+
+
+def _conv3d(w):  # (O,I,kt,kh,kw) -> (kt,kh,kw,I,O)
+    return np.ascontiguousarray(np.transpose(w, (2, 3, 4, 1, 0)))
+
+
+def _proj_to_dense(w):
+    """1x1 convs (rank 3/4) or Linear (rank 2) -> Dense kernel (I, O)."""
+    if w.ndim == 2:
+        return _t(w)
+    if w.ndim == 3:  # Conv1d (O,I,1)
+        return _t(w[:, :, 0])
+    if w.ndim == 4:  # Conv2d (O,I,1,1)
+        return _t(w[:, :, 0, 0])
+    raise ValueError(f"unexpected projection weight rank {w.ndim}")
+
+
+def _set(tree: Dict, path, value):
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = np.asarray(value, dtype=np.float32)
+
+
+def normalize_state_dict(sd: Mapping[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Apply the three source-format fixups to a raw checkpoint dict."""
+    if "state_dict" in sd:
+        sd = sd["state_dict"]
+    keys = list(sd.keys())
+    out = {}
+    if keys and all(k.startswith("module.") for k in keys):
+        # deepspeed format: the reference strips key[16:]
+        for k in keys:
+            out[k[16:]] = sd[k]
+    else:
+        out = dict(sd)
+    # 256-model rename
+    for k in list(out.keys()):
+        if "framestride_embed" in k:
+            out[k.replace("framestride_embed", "fps_embedding")] = out.pop(k)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Transformer-block (spatial/temporal) inner keys
+# ---------------------------------------------------------------------------
+
+_LN_NAMES = {"norm1", "norm2", "norm3"}
+
+
+def _convert_transformer_rest(rest: str, w, tree, base_path):
+    """rest is everything after '<block>.' for a Spatial/TemporalTransformer."""
+    parts = rest.split(".")
+    leaf = parts[-1]
+    if parts[0] == "norm":  # GroupNorm
+        _set(tree, base_path + ("norm", "scale" if leaf == "weight" else "bias"), w)
+        return
+    if parts[0] in ("proj_in", "proj_out"):
+        if leaf == "weight":
+            _set(tree, base_path + (parts[0], "kernel"), _proj_to_dense(w))
+        else:
+            _set(tree, base_path + (parts[0], "bias"), w)
+        return
+    if parts[0] == "transformer_blocks":
+        n = parts[1]
+        tb = f"transformer_blocks_{n}"
+        inner = parts[2:]
+        if inner[0] in _LN_NAMES:
+            _set(tree, base_path + (tb, inner[0], "scale" if leaf == "weight" else "bias"), w)
+            return
+        if inner[0] in ("attn1", "attn2"):
+            attn = inner[0]
+            if inner[1] == "alpha":
+                _set(tree, base_path + (tb, attn, "alpha"), w)
+                return
+            if inner[1] in ("relative_position_k", "relative_position_v"):
+                _set(tree, base_path + (tb, attn, inner[1], "embeddings_table"), w)
+                return
+            if inner[1] == "to_out":  # to_out.0 (Linear inside Sequential)
+                _set(tree, base_path + (tb, attn, "to_out",
+                                        "kernel" if leaf == "weight" else "bias"),
+                     _t(w) if leaf == "weight" else w)
+                return
+            # to_q / to_k / to_v / to_k_ip / to_v_ip (no bias)
+            _set(tree, base_path + (tb, attn, inner[1], "kernel"), _t(w))
+            return
+        if inner[0] == "ff":
+            # ff.net.0.proj -> ff/proj_in ; ff.net.2 -> ff/proj_out
+            if inner[1] == "net" and inner[2] == "0":
+                _set(tree, base_path + (tb, "ff", "proj_in",
+                                        "kernel" if leaf == "weight" else "bias"),
+                     _t(w) if leaf == "weight" else w)
+                return
+            if inner[1] == "net" and inner[2] == "2":
+                _set(tree, base_path + (tb, "ff", "proj_out",
+                                        "kernel" if leaf == "weight" else "bias"),
+                     _t(w) if leaf == "weight" else w)
+                return
+    raise KeyError(f"unhandled transformer key: {rest}")
+
+
+def _convert_resblock_rest(rest: str, w, tree, base_path):
+    parts = rest.split(".")
+    leaf = parts[-1]
+    is_weight = leaf == "weight"
+    if parts[0] == "in_layers":
+        if parts[1] == "0":
+            _set(tree, base_path + ("norm_in", "scale" if is_weight else "bias"), w)
+        else:  # in_layers.2 conv
+            _set(tree, base_path + ("conv_in", "kernel" if is_weight else "bias"),
+                 _conv2d_to_5d(w) if is_weight else w)
+        return
+    if parts[0] == "emb_layers":  # emb_layers.1 Linear
+        _set(tree, base_path + ("emb_proj", "kernel" if is_weight else "bias"),
+             _t(w) if is_weight else w)
+        return
+    if parts[0] == "out_layers":
+        if parts[1] == "0":
+            _set(tree, base_path + ("norm_out", "scale" if is_weight else "bias"), w)
+        else:  # out_layers.3 conv
+            _set(tree, base_path + ("conv_out", "kernel" if is_weight else "bias"),
+                 _conv2d_to_5d(w) if is_weight else w)
+        return
+    if parts[0] == "skip_connection":
+        _set(tree, base_path + ("skip", "kernel" if is_weight else "bias"),
+             _conv2d_to_5d(w) if is_weight else w)
+        return
+    if parts[0] == "temopral_conv":  # [sic] reference typo, openaimodel3d.py:190
+        convn = parts[1]  # conv1..conv4
+        idx = parts[2]
+        if idx == "0":  # GroupNorm
+            _set(tree, base_path + ("tconv", "norm" + convn[-1],
+                                    "scale" if is_weight else "bias"), w)
+        else:  # Conv3d at index 2 (conv1) or 3 (conv2..4)
+            _set(tree, base_path + ("tconv", convn, "kernel" if is_weight else "bias"),
+                 _conv3d(w) if is_weight else w)
+        return
+    raise KeyError(f"unhandled resblock key: {rest}")
+
+
+def _convert_block_rest(rest: str, w, tree, base_path):
+    head = rest.split(".")[0]
+    if head in ("in_layers", "emb_layers", "out_layers", "skip_connection",
+                "temopral_conv"):
+        _convert_resblock_rest(rest, w, tree, base_path)
+    elif head in ("norm", "proj_in", "proj_out", "transformer_blocks"):
+        _convert_transformer_rest(rest, w, tree, base_path)
+    elif head == "op":  # Downsample conv
+        leaf = rest.split(".")[-1]
+        _set(tree, base_path + ("op", "kernel" if leaf == "weight" else "bias"),
+             _conv2d_to_5d(w) if leaf == "weight" else w)
+    elif head == "conv":  # Upsample conv
+        leaf = rest.split(".")[-1]
+        _set(tree, base_path + ("conv", "kernel" if leaf == "weight" else "bias"),
+             _conv2d_to_5d(w) if leaf == "weight" else w)
+    else:
+        raise KeyError(f"unhandled block key: {rest}")
+
+
+def convert_unet(sd: Mapping[str, np.ndarray]) -> Dict:
+    """Convert reference UNet keys (already stripped of the
+    'model.diffusion_model.' prefix) to a Flax param tree."""
+    tree: Dict = {}
+    for key, w in sd.items():
+        w = np.asarray(w, dtype=np.float32)
+        parts = key.split(".")
+        leaf = parts[-1]
+        is_weight = leaf == "weight"
+        if parts[0] in ("time_embed", "fps_embedding"):
+            dense = "dense0" if parts[1] == "0" else "dense2"
+            _set(tree, (parts[0], dense, "kernel" if is_weight else "bias"),
+                 _t(w) if is_weight else w)
+        elif parts[0] == "input_blocks":
+            i, j = parts[1], parts[2]
+            rest = ".".join(parts[3:])
+            if i == "0" and j == "0":  # first conv
+                _set(tree, (f"input_blocks_0_0", "kernel" if is_weight else "bias"),
+                     _conv2d_to_5d(w) if is_weight else w)
+            else:
+                _convert_block_rest(rest, w, tree, (f"input_blocks_{i}_{j}",))
+        elif parts[0] == "init_attn":  # init_attn.0.<rest>
+            rest = ".".join(parts[2:])
+            _convert_transformer_rest(rest, w, tree, ("init_attn",))
+        elif parts[0] == "middle_block":
+            j = parts[1]
+            rest = ".".join(parts[2:])
+            _convert_block_rest(rest, w, tree, (f"middle_block_{j}",))
+        elif parts[0] == "output_blocks":
+            i, j = parts[1], parts[2]
+            rest = ".".join(parts[3:])
+            _convert_block_rest(rest, w, tree, (f"output_blocks_{i}_{j}",))
+        elif parts[0] == "out":
+            if parts[1] == "0":
+                _set(tree, ("out_norm", "scale" if is_weight else "bias"), w)
+            else:
+                _set(tree, ("out_conv", "kernel" if is_weight else "bias"),
+                     _conv2d_to_5d(w) if is_weight else w)
+        else:
+            raise KeyError(f"unhandled UNet key: {key}")
+    return tree
+
+
+def split_reference_checkpoint(sd: Mapping[str, np.ndarray]) -> Dict[str, Dict[str, np.ndarray]]:
+    """Split a full LatentVisualDiffusion state dict into component dicts."""
+    groups = {
+        "unet": "model.diffusion_model.",
+        "vae": "first_stage_model.",
+        "clip_text": "cond_stage_model.",
+        "clip_vision": "embedder.",
+        "resampler": "image_proj_model.",
+    }
+    out: Dict[str, Dict[str, np.ndarray]] = {k: {} for k in groups}
+    out["other"] = {}
+    for key, w in sd.items():
+        for name, prefix in groups.items():
+            if key.startswith(prefix):
+                out[name][key[len(prefix):]] = w
+                break
+        else:
+            out["other"][key] = w
+    return out
