@@ -237,6 +237,72 @@ def convert_unet(sd: Mapping[str, np.ndarray]) -> Dict:
     return tree
 
 
+# ---------------------------------------------------------------------------
+# VAE
+# ---------------------------------------------------------------------------
+
+_VAE_DENSE = {"nin_shortcut", "q", "k", "v", "proj_out", "temb_proj"}
+_VAE_NORM = {"norm1", "norm2", "norm", "norm_out"}
+
+
+def _convert_vae_module(rest_parts, w, tree, base_path):
+    """Inner keys of a ResnetBlock / AttnBlock / sampler / plain conv."""
+    leaf = rest_parts[-1]
+    is_weight = leaf == "weight"
+    name = rest_parts[0]
+    if name in _VAE_NORM:
+        _set(tree, base_path + (name, "scale" if is_weight else "bias"), w)
+    elif name in _VAE_DENSE:
+        _set(tree, base_path + (name, "kernel" if is_weight else "bias"),
+             _proj_to_dense(w) if is_weight else w)
+    else:  # convolutions (conv1, conv2, conv, conv_in, conv_out, conv_shortcut)
+        _set(tree, base_path + (name, "kernel" if is_weight else "bias"),
+             _conv2d_to_4d(w) if is_weight else w)
+
+
+def convert_vae(sd: Mapping[str, np.ndarray]) -> Dict:
+    """Convert AutoencoderKL keys (prefix 'first_stage_model.' stripped)."""
+    tree: Dict = {}
+    for key, w in sd.items():
+        w = np.asarray(w, dtype=np.float32)
+        parts = key.split(".")
+        if parts[0] == "loss":
+            continue  # GAN/perceptual loss weights — training-only, unused
+        if parts[0] in ("quant_conv", "post_quant_conv"):
+            leaf = parts[-1]
+            _set(tree, (parts[0], "kernel" if leaf == "weight" else "bias"),
+                 _proj_to_dense(w) if leaf == "weight" else w)
+            continue
+        tower = parts[0]  # encoder / decoder
+        if tower not in ("encoder", "decoder"):
+            raise KeyError(f"unhandled VAE key: {key}")
+        inner = parts[1:]
+        if inner[0] in ("conv_in", "conv_out", "norm_out"):
+            _convert_vae_module(inner, w, tree, (tower,))
+        elif inner[0] == "mid":
+            # mid.block_1.<f> / mid.attn_1.<f>
+            _convert_vae_module(inner[2:], w, tree, (tower, f"mid_{inner[1]}"))
+        elif inner[0] in ("down", "up"):
+            i = inner[1]
+            sub = inner[2]
+            if sub == "block":
+                j = inner[3]
+                _convert_vae_module(inner[4:], w, tree,
+                                    (tower, f"{inner[0]}_{i}_block_{j}"))
+            elif sub == "attn":
+                j = inner[3]
+                _convert_vae_module(inner[4:], w, tree,
+                                    (tower, f"{inner[0]}_{i}_attn_{j}"))
+            elif sub in ("downsample", "upsample"):
+                _convert_vae_module(inner[3:], w, tree,
+                                    (tower, f"{inner[0]}_{i}_{sub}"))
+            else:
+                raise KeyError(f"unhandled VAE key: {key}")
+        else:
+            raise KeyError(f"unhandled VAE key: {key}")
+    return tree
+
+
 def split_reference_checkpoint(sd: Mapping[str, np.ndarray]) -> Dict[str, Dict[str, np.ndarray]]:
     """Split a full LatentVisualDiffusion state dict into component dicts."""
     groups = {
