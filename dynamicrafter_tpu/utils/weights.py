@@ -303,6 +303,147 @@ def convert_vae(sd: Mapping[str, np.ndarray]) -> Dict:
     return tree
 
 
+# ---------------------------------------------------------------------------
+# CLIP towers (open_clip checkpoint format)
+# ---------------------------------------------------------------------------
+
+def _convert_resblock_attn(inner, w, tree, base, width):
+    """open_clip ResidualAttentionBlock inner keys."""
+    leaf = inner[-1]
+    is_weight = leaf.endswith("weight")
+    if inner[0] in ("ln_1", "ln_2"):
+        _set(tree, base + (inner[0], "scale" if is_weight else "bias"), w)
+    elif inner[0] == "attn":
+        if inner[1] == "in_proj_weight":
+            qw, kw, vw = np.split(w, 3, axis=0)
+            _set(tree, base + ("q_proj", "kernel"), _t(qw))
+            _set(tree, base + ("k_proj", "kernel"), _t(kw))
+            _set(tree, base + ("v_proj", "kernel"), _t(vw))
+        elif inner[1] == "in_proj_bias":
+            qb, kb, vb = np.split(w, 3, axis=0)
+            _set(tree, base + ("q_proj", "bias"), qb)
+            _set(tree, base + ("k_proj", "bias"), kb)
+            _set(tree, base + ("v_proj", "bias"), vb)
+        elif inner[1] == "out_proj":
+            _set(tree, base + ("out_proj", "kernel" if is_weight else "bias"),
+                 _t(w) if is_weight else w)
+        else:
+            raise KeyError(f"unhandled attn key: {'.'.join(inner)}")
+    elif inner[0] == "mlp":
+        name = inner[1]  # c_fc / c_proj
+        _set(tree, base + (name, "kernel" if is_weight else "bias"),
+             _t(w) if is_weight else w)
+    else:
+        raise KeyError(f"unhandled resblock key: {'.'.join(inner)}")
+
+
+def convert_clip_text(sd: Mapping[str, np.ndarray], n_layers: int = 23) -> Dict:
+    """Keys with 'cond_stage_model.' stripped (so starting 'model.').
+
+    n_layers: number of transformer blocks kept (23 = penultimate for ViT-H).
+    """
+    tree: Dict = {}
+    for key, w in sd.items():
+        w = np.asarray(w, dtype=np.float32)
+        parts = key.split(".")
+        if parts[0] != "model":
+            raise KeyError(f"unhandled text-encoder key: {key}")
+        parts = parts[1:]
+        if parts[0] in ("text_projection", "logit_scale", "attn_mask"):
+            continue
+        if parts[0] == "token_embedding":
+            _set(tree, ("token_embedding",), w)
+        elif parts[0] == "positional_embedding":
+            _set(tree, ("positional_embedding",), w)
+        elif parts[0] == "ln_final":
+            _set(tree, ("ln_final", "scale" if parts[-1] == "weight" else "bias"), w)
+        elif parts[0] == "transformer" and parts[1] == "resblocks":
+            i = int(parts[2])
+            if i >= n_layers:
+                continue  # penultimate: final block unused
+            _convert_resblock_attn(parts[3:], w, tree, (f"resblocks_{i}",),
+                                   w.shape[-1])
+        else:
+            raise KeyError(f"unhandled text-encoder key: {key}")
+    return tree
+
+
+def convert_clip_vision(sd: Mapping[str, np.ndarray]) -> Dict:
+    """Keys with 'embedder.' stripped (so starting 'model.visual.')."""
+    tree: Dict = {}
+    for key, w in sd.items():
+        w = np.asarray(w, dtype=np.float32)
+        parts = key.split(".")
+        if parts[:2] != ["model", "visual"]:
+            if parts[0] in ("mean", "std"):
+                continue
+            raise KeyError(f"unhandled vision-encoder key: {key}")
+        parts = parts[2:]
+        if parts[0] in ("ln_post", "proj"):
+            continue  # unused: reference stops after the transformer
+        if parts[0] == "class_embedding":
+            _set(tree, ("class_embedding",), w)
+        elif parts[0] == "positional_embedding":
+            _set(tree, ("positional_embedding",), w)
+        elif parts[0] == "conv1":  # (W, 3, p, p) no bias -> (p*p*3, W)
+            pw = np.transpose(w, (2, 3, 1, 0)).reshape(-1, w.shape[0])
+            _set(tree, ("patch_embed", "kernel"), np.ascontiguousarray(pw))
+        elif parts[0] == "ln_pre":
+            _set(tree, ("ln_pre", "scale" if parts[-1] == "weight" else "bias"), w)
+        elif parts[0] == "transformer" and parts[1] == "resblocks":
+            i = int(parts[2])
+            _convert_resblock_attn(parts[3:], w, tree, (f"resblocks_{i}",),
+                                   w.shape[-1])
+        else:
+            raise KeyError(f"unhandled vision-encoder key: {key}")
+    return tree
+
+
+def convert_resampler(sd: Mapping[str, np.ndarray]) -> Dict:
+    """Keys with 'image_proj_model.' stripped."""
+    tree: Dict = {}
+    for key, w in sd.items():
+        w = np.asarray(w, dtype=np.float32)
+        parts = key.split(".")
+        leaf = parts[-1]
+        is_weight = leaf == "weight"
+        if parts[0] == "latents":
+            _set(tree, ("latents",), w)
+        elif parts[0] in ("proj_in", "proj_out"):
+            _set(tree, (parts[0], "kernel" if is_weight else "bias"),
+                 _t(w) if is_weight else w)
+        elif parts[0] == "norm_out":
+            _set(tree, ("norm_out", "scale" if is_weight else "bias"), w)
+        elif parts[0] == "layers":
+            i = parts[1]
+            if parts[2] == "0":  # PerceiverAttention
+                base = (f"layers_{i}_attn",)
+                name = parts[3]
+                if name in ("norm1", "norm2"):
+                    _set(tree, base + (name, "scale" if is_weight else "bias"), w)
+                else:  # to_q/to_kv/to_out, no bias
+                    _set(tree, base + (name, "kernel"), _t(w))
+            else:  # FeedForward Sequential: 0=LN, 1=Linear, 3=Linear
+                base = (f"layers_{i}_ff",)
+                idx = parts[3]
+                if idx == "0":
+                    _set(tree, base + ("norm", "scale" if is_weight else "bias"), w)
+                elif idx == "1":
+                    _set(tree, base + ("fc1", "kernel"), _t(w))
+                elif idx == "3":
+                    _set(tree, base + ("fc2", "kernel"), _t(w))
+                else:
+                    raise KeyError(f"unhandled resampler key: {key}")
+        elif parts[0] in ("proj", "norm"):  # ImageProjModel
+            _set(tree, (parts[0],
+                        ("kernel" if is_weight else "bias") if parts[0] == "proj"
+                        else ("scale" if is_weight else "bias")),
+                 _t(w) if (is_weight and parts[0] == "proj") else w)
+        else:
+            raise KeyError(f"unhandled resampler key: {key}")
+    return tree
+
+
 def split_reference_checkpoint(sd: Mapping[str, np.ndarray]) -> Dict[str, Dict[str, np.ndarray]]:
     """Split a full LatentVisualDiffusion state dict into component dicts."""
     groups = {

@@ -10,8 +10,11 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-# fp32 matmuls on CPU for parity tests
-os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "highest")
+import jax
+
+# True fp32 matmuls for parity tests (JAX's default CPU path may use a
+# lower-precision dot that costs ~1e-2 absolute error).
+jax.config.update("jax_default_matmul_precision", "highest")
 
 import sys
 
