@@ -1,0 +1,219 @@
+"""DDIM sampling as a single jitted lax.scan.
+
+Behavioral parity targets:
+  * standard sampler + CFG      lvdm/models/samplers/ddim.py:134-279
+  * two-axis (multi-cond) CFG   lvdm/models/samplers/ddim_multiplecond.py:210-285
+  * mask/x0 latent blending     ddim.py:173-180
+  * v-parameterization          ddim.py:231-234, 257-260
+  * dynamic rescale             ddim.py:262-266
+  * guidance rescale            utils_diffusion.py:147-158
+
+TPU-first design (vs the reference's Python step loop):
+  * the whole 50-step loop is one lax.scan inside one jit — zero host
+    round-trips during sampling;
+  * the 2 (or 3) CFG passes run as ONE batched UNet call (the reference runs
+    them serially, ddim.py:220-226) — better MXU utilization at identical
+    math;
+  * per-step noise is either a pre-drawn (S, ...) array (parity harness) or
+    drawn in-scan from a folded PRNG key.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from dynamicrafter_tpu.schedule import (
+    DDIMTable,
+    DiffusionSchedule,
+    rescale_noise_cfg,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplerSettings:
+    steps: int = 50
+    discretize: str = "uniform"
+    eta: float = 0.0
+    cfg_scale: float = 7.5
+    cfg_img: Optional[float] = None        # multi-cond second axis; None = off
+    guidance_rescale: float = 0.0
+    temperature: float = 1.0
+    parameterization: str = "v"
+    clean_cond: bool = False               # mask blending uses clean x0
+
+
+class CFGConditioning(NamedTuple):
+    """Stacked conditioning for 1..3 batched CFG passes.
+
+    Pass order along the stacked batch axis: [uncond, (uncond_img,) cond] —
+    uncond first so the unconditional pass is always slice 0.
+    Each field is stacked along a new leading pass axis P, later folded into
+    batch for the single UNet call.
+    """
+
+    context_text: jax.Array             # (P, B, Lt, C)
+    context_img: Optional[jax.Array]    # (P, B, T, Li, C) or None
+    concat: Optional[jax.Array]         # (P, B, T, h, w, Cc) or None
+    fs: Optional[jax.Array]             # (B,) shared across passes
+
+    @property
+    def num_passes(self) -> int:
+        return self.context_text.shape[0]
+
+
+def make_cfg_denoiser(
+    unet_apply: Callable,
+    params,
+    cond: CFGConditioning,
+    settings: SamplerSettings,
+) -> Callable:
+    """Build model_fn(x, t) -> CFG-combined model output.
+
+    Runs all passes as one UNet call with batch P*B, then applies
+      standard: e = e_uc + s*(e_c - e_uc)                      (ddim.py:226)
+      multicond: e = e_uc + s_img*(e_uc_img - e_uc)
+                   + s_txt*(e_c - e_uc_img)      (ddim_multiplecond.py:230-236)
+    plus optional guidance-rescale against the conditional pass.
+    """
+    p = cond.num_passes
+
+    def model_fn(x: jax.Array, t: jax.Array) -> jax.Array:
+        b = x.shape[0]
+        xc = x
+        if cond.concat is not None:
+            # hybrid conditioning: per-pass channel concat (ddpm3d.py:1254-1258)
+            xs = jnp.broadcast_to(xc[None], (p, *xc.shape))
+            xs = jnp.concatenate([xs, cond.concat], axis=-1)
+        else:
+            xs = jnp.broadcast_to(xc[None], (p, *xc.shape))
+        flat = lambda a: a.reshape(p * b, *a.shape[2:])
+        ctx_img = None if cond.context_img is None else flat(cond.context_img)
+        fs = None if cond.fs is None else jnp.tile(cond.fs, p)
+        out = unet_apply(
+            params, flat(xs), jnp.tile(t, p),
+            context_text=flat(cond.context_text),
+            context_img=ctx_img, fs=fs,
+        )
+        out = out.reshape(p, b, *out.shape[1:])
+        if p == 1:
+            return out[0]
+        if p == 2:
+            e_uc, e_c = out[0], out[1]
+            e = e_uc + settings.cfg_scale * (e_c - e_uc)
+        else:
+            e_uc, e_uc_img, e_c = out[0], out[1], out[2]
+            s_img = settings.cfg_img if settings.cfg_img is not None \
+                else settings.cfg_scale
+            e = (e_uc + s_img * (e_uc_img - e_uc)
+                 + settings.cfg_scale * (e_c - e_uc_img))
+        if settings.guidance_rescale > 0.0:
+            e = rescale_noise_cfg(e, e_c, settings.guidance_rescale)
+        return e
+
+    return model_fn
+
+
+def ddim_sample(
+    model_fn: Callable,
+    x_T: jax.Array,
+    schedule: DiffusionSchedule,
+    table: DDIMTable,
+    settings: SamplerSettings,
+    *,
+    noise: Optional[jax.Array] = None,   # (S, *x.shape) pre-drawn step noise
+    rng: Optional[jax.Array] = None,
+    mask: Optional[jax.Array] = None,
+    x0: Optional[jax.Array] = None,
+    mask_noise: Optional[jax.Array] = None,  # (S, *x.shape) for q_sample blend
+) -> jax.Array:
+    """Run the full DDIM loop; returns the final latent.
+
+    model_fn(x, t) must return the (already CFG-combined) model output.
+    """
+    s = table.num_steps
+    b = x_T.shape[0]
+    nd = x_T.ndim
+    bshape = (b,) + (1,) * (nd - 1)
+
+    idx = jnp.arange(s - 1, -1, -1)
+    per_step = {
+        "t": table.timesteps[idx],
+        "a_t": table.alphas[idx],
+        "a_prev": table.alphas_prev[idx],
+        "sqrt_1m_a": table.sqrt_one_minus_alphas[idx],
+        "sigma": table.sigmas[idx],
+        "i": jnp.arange(s),
+    }
+    if table.scale_arr is not None:
+        per_step["rescale"] = table.scale_arr_prev[idx] / table.scale_arr[idx]
+    if noise is not None:
+        per_step["noise"] = noise
+    if mask is not None and mask_noise is not None:
+        per_step["mask_noise"] = mask_noise
+
+    use_eta_noise = settings.eta > 0.0
+
+    def body(carry, step):
+        x, key = carry
+        t = jnp.full((b,), step["t"], dtype=jnp.int32)
+
+        if mask is not None:
+            assert x0 is not None
+            if settings.clean_cond:
+                img_orig = x0
+            else:
+                mnoise = step.get("mask_noise")
+                if mnoise is None:
+                    key, sub = jax.random.split(key)
+                    mnoise = jax.random.normal(sub, x.shape, x.dtype)
+                img_orig = schedule.q_sample(x0, t, mnoise)
+            x = img_orig * mask + (1.0 - mask) * x
+
+        model_output = model_fn(x, t)
+
+        if settings.parameterization == "v":
+            e_t = schedule.predict_eps_from_z_and_v(x, t, model_output)
+            pred_x0 = schedule.predict_start_from_z_and_v(x, t, model_output)
+        else:
+            e_t = model_output
+            pred_x0 = (x - step["sqrt_1m_a"] * e_t) / jnp.sqrt(step["a_t"])
+
+        if "rescale" in step:
+            pred_x0 = pred_x0 * step["rescale"]
+
+        dir_xt = jnp.sqrt(1.0 - step["a_prev"] - step["sigma"] ** 2) * e_t
+
+        if use_eta_noise:
+            n = step.get("noise")
+            if n is None:
+                key, sub = jax.random.split(key)
+                n = jax.random.normal(sub, x.shape, x.dtype)
+            x_prev = (jnp.sqrt(step["a_prev"]) * pred_x0 + dir_xt
+                      + step["sigma"] * n * settings.temperature)
+        else:
+            x_prev = jnp.sqrt(step["a_prev"]) * pred_x0 + dir_xt
+        return (x_prev, key), None
+
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    (x, _), _ = jax.lax.scan(body, (x_T, rng), per_step)
+    return x
+
+
+def stochastic_encode(
+    schedule: DiffusionSchedule,
+    table: DDIMTable,
+    x0: jax.Array,
+    t_index: jax.Array,
+    noise: jax.Array,
+) -> jax.Array:
+    """img2img entry: noise x0 to DDIM step t_index (ddim.py:303-317)."""
+    sqrt_a = jnp.sqrt(table.alphas)
+    sqrt_1m = table.sqrt_one_minus_alphas
+    nd = x0.ndim
+    ga = sqrt_a[t_index].reshape(-1, *((1,) * (nd - 1)))
+    g1 = sqrt_1m[t_index].reshape(-1, *((1,) * (nd - 1)))
+    return ga * x0 + g1 * noise
