@@ -54,7 +54,7 @@ def use_mesh(mesh: Optional[Mesh]):
     _state.mesh = mesh
     try:
         if mesh is not None:
-            with jax.sharding.use_mesh(mesh):
+            with jax.set_mesh(mesh):
                 yield mesh
         else:
             yield None

@@ -1,0 +1,393 @@
+"""DynamiCrafterPipeline: the end-to-end image-to-video orchestrator.
+
+Replaces the reference's Lightning god-object + script stack
+(lvdm/models/ddpm3d.py LatentVisualDiffusion + scripts/evaluation/inference.py
+image_guided_synthesis + the fork's scripts/gradio/dynamicrafter_pipeline.py)
+with a functional design: explicit param pytrees, jitted stage functions, the
+whole DDIM loop inside one jit, and optional (dp, sp) mesh sharding.
+
+Call path parity (scripts/evaluation/inference.py:216-313):
+  embed image -> resampler tokens, embed text, VAE-encode cond frames,
+  assemble hybrid conditioning (repeat / interp-zeros), CFG uncond variants,
+  DDIM scan, per-frame (or tiled) VAE decode.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dynamicrafter_tpu import schedule as sched_lib
+from dynamicrafter_tpu.config import ModelConfig
+from dynamicrafter_tpu.models.clip import (
+    CLIPTextConfig,
+    CLIPTextEncoder,
+    CLIPVisionConfig,
+    CLIPVisionEncoder,
+    clip_preprocess,
+)
+from dynamicrafter_tpu.models.resampler import Resampler, ResamplerConfig
+from dynamicrafter_tpu.models.unet3d import UNetConfig, UNetModel
+from dynamicrafter_tpu.models.vae import (
+    AutoencoderKL,
+    DiagonalGaussian,
+    VAEConfig,
+    decode_tiled,
+)
+from dynamicrafter_tpu.parallel.sharding import use_mesh
+from dynamicrafter_tpu.sampling.ddim import (
+    CFGConditioning,
+    SamplerSettings,
+    ddim_sample,
+    make_cfg_denoiser,
+)
+from dynamicrafter_tpu.utils import weights as W
+from dynamicrafter_tpu.utils.tokenizer import default_tokenizer
+
+
+@dataclasses.dataclass
+class PipelineOutput:
+    videos: np.ndarray  # (B, n_samples, T, H, W, 3) float in [-1, 1]
+
+
+class DynamiCrafterPipeline:
+    def __init__(
+        self,
+        config: ModelConfig,
+        params: Optional[Dict[str, Any]] = None,
+        dtype=jnp.float32,
+        mesh=None,
+        tokenizer=None,
+        tiled_vae_threshold: int = 64,
+    ):
+        self.config = config
+        self.dtype = dtype
+        self.mesh = mesh
+        self.tiled_vae_threshold = tiled_vae_threshold
+
+        self.unet_config = UNetConfig.from_dict(config.unet)
+        self.vae_config = VAEConfig.from_dict(config.vae)
+        self.unet = UNetModel(self.unet_config, dtype=dtype)
+        self.vae = AutoencoderKL(self.vae_config, dtype=dtype)
+        self.text_encoder = CLIPTextEncoder(
+            CLIPTextConfig(**config.clip_text), dtype=dtype)
+        self.vision_encoder = CLIPVisionEncoder(
+            CLIPVisionConfig(**config.clip_vision), dtype=dtype)
+        self.resampler = (Resampler(ResamplerConfig.from_dict(config.resampler),
+                                    dtype=dtype)
+                          if config.resampler else None)
+        self.tokenizer = tokenizer or default_tokenizer()
+
+        self.schedule = sched_lib.build_schedule(
+            timesteps=config.timesteps,
+            beta_schedule=config.beta_schedule,
+            linear_start=config.linear_start,
+            linear_end=config.linear_end,
+            cosine_s=config.cosine_s,
+            parameterization=config.parameterization,
+            rescale_betas_zero_snr=config.rescale_betas_zero_snr,
+            use_dynamic_rescale=config.use_dynamic_rescale,
+            base_scale=config.base_scale,
+            turning_step=config.turning_step,
+        )
+        self.params = params
+
+    # ------------------------------------------------------------------
+    # construction
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def from_checkpoint(cls, config_path: str, ckpt_path: str, **kw):
+        """Load a released PyTorch checkpoint (any of the 3 formats)."""
+        import torch
+
+        config = ModelConfig.from_yaml(config_path)
+        sd = torch.load(ckpt_path, map_location="cpu", weights_only=True)
+        sd = W.normalize_state_dict(
+            {k: v.numpy() for k, v in
+             (sd.get("state_dict", sd)).items()})
+        split = W.split_reference_checkpoint(sd)
+        n_text_layers = CLIPTextConfig(**config.clip_text).layers - 1
+        params = {
+            "unet": W.convert_unet(split["unet"]),
+            "vae": W.convert_vae(split["vae"]),
+            "clip_text": W.convert_clip_text(split["clip_text"], n_text_layers),
+            "clip_vision": W.convert_clip_vision(split["clip_vision"]),
+        }
+        if split["resampler"]:
+            params["resampler"] = W.convert_resampler(split["resampler"])
+        return cls(config, params=params, **kw)
+
+    def init_random(self, seed: int = 0, latent_hw: Tuple[int, int] = (8, 8)):
+        """Random-init all components (smoke runs without checkpoints)."""
+        cfg = self.config
+        t = self.unet_config.temporal_length or 4
+        h, w = latent_hw
+        keys = jax.random.split(jax.random.PRNGKey(seed), 5)
+        ctx_dim = self.unet_config.context_dim
+        n_img_tok = (self.resampler.config.num_queries
+                     if self.resampler else 16)
+        params = {}
+        params["unet"] = jax.jit(self.unet.init)(
+            keys[0],
+            jnp.zeros((1, t, h, w, self.unet_config.in_channels)),
+            jnp.zeros((1,), jnp.int32),
+            context_text=jnp.zeros((1, 77, ctx_dim)),
+            context_img=(jnp.zeros((1, t, n_img_tok, ctx_dim))
+                         if self.unet_config.image_cross_attention else None),
+            fs=jnp.zeros((1,), jnp.int32) if self.unet_config.fs_condition else None,
+        )["params"]
+        px = h * (2 ** (len(self.vae_config.ch_mult) - 1))
+        params["vae"] = jax.jit(self.vae.init)(
+            keys[1], jnp.zeros((1, px, px, 3)),
+        )["params"]
+        params["clip_text"] = jax.jit(self.text_encoder.init)(
+            keys[2], jnp.zeros((1, 77), jnp.int32))["params"]
+        vcfg = self.vision_encoder.config
+        params["clip_vision"] = jax.jit(self.vision_encoder.init)(
+            keys[3], jnp.zeros((1, vcfg.image_size, vcfg.image_size, 3)))["params"]
+        if self.resampler is not None:
+            n_patches = (vcfg.image_size // vcfg.patch_size) ** 2 + 1
+            params["resampler"] = jax.jit(self.resampler.init)(
+                keys[4],
+                jnp.zeros((1, n_patches, self.resampler.config.embedding_dim)),
+            )["params"]
+        self.params = params
+        return params
+
+    # ------------------------------------------------------------------
+    # jitted stages
+    # ------------------------------------------------------------------
+
+    @functools.cached_property
+    def _text_fn(self):
+        return jax.jit(lambda p, tok: self.text_encoder.apply({"params": p}, tok))
+
+    @functools.cached_property
+    def _img_ctx_fn(self):
+        def f(p_vision, p_resampler, images):
+            vcfg = self.vision_encoder.config
+            px = clip_preprocess(images, vcfg.image_size)
+            tokens = self.vision_encoder.apply({"params": p_vision}, px)
+            return self.resampler.apply({"params": p_resampler}, tokens)
+        return jax.jit(f)
+
+    @functools.cached_property
+    def _encode_fn(self):
+        def f(p_vae, frames, noise):
+            # frames: (N, H, W, 3) in [-1, 1]
+            moments = self.vae.apply({"params": p_vae}, frames,
+                                     method=AutoencoderKL.encode_moments)
+            z = DiagonalGaussian(moments).sample(noise)
+            return z * self.config.scale_factor
+        return jax.jit(f)
+
+    @functools.cached_property
+    def _decode_frame_fn(self):
+        def f(p_vae, z):
+            return self.vae.apply({"params": p_vae},
+                                  z / self.config.scale_factor,
+                                  method=AutoencoderKL.decode)
+        return jax.jit(f)
+
+    def decode_latents(self, z: jax.Array, perframe: Optional[bool] = None,
+                       tiled: Optional[bool] = None) -> jax.Array:
+        """z: (B, T, h, w, c) -> (B, T, H, W, 3).
+
+        perframe mirrors the reference perframe_ae loop (ddpm3d.py:654-663)
+        as a lax.map over frames; tiled adds spatial tiling for high-res.
+        """
+        b, t, h, w, c = z.shape
+        if perframe is None:
+            perframe = self.config.perframe_ae
+        if tiled is None:
+            tiled = max(h, w) > self.tiled_vae_threshold
+        p_vae = self.params["vae"]
+        flat = z.reshape(b * t, h, w, c)
+        if tiled:
+            decode = lambda zt: self._decode_frame_fn(p_vae, zt)
+            scale = 2 ** (len(self.vae_config.ch_mult) - 1)
+            out = decode_tiled(decode, flat, tile=self.tiled_vae_threshold,
+                               overlap=8, scale=scale)
+        elif perframe:
+            out = jax.lax.map(
+                lambda zt: self._decode_frame_fn(p_vae, zt[None])[0], flat)
+        else:
+            out = self._decode_frame_fn(p_vae, flat)
+        return out.reshape(b, t, *out.shape[1:])
+
+    # ------------------------------------------------------------------
+    # conditioning assembly (inference.py:238-276)
+    # ------------------------------------------------------------------
+
+    def embed_text(self, prompts: Sequence[str]) -> jax.Array:
+        tokens = jnp.asarray(self.tokenizer(list(prompts)))
+        return self._text_fn(self.params["clip_text"], tokens)
+
+    def embed_image_ctx(self, images: jax.Array) -> jax.Array:
+        """images: (B, H, W, 3) in [-1,1] -> (B, T, Q, ctx_dim)."""
+        ctx = self._img_ctx_fn(self.params["clip_vision"],
+                               self.params["resampler"], images)
+        b = ctx.shape[0]
+        t = self.resampler.config.video_length or 1
+        return ctx.reshape(b, t, -1, ctx.shape[-1])
+
+    def encode_video(self, video: jax.Array, rng: jax.Array) -> jax.Array:
+        """video: (B, T, H, W, 3) in [-1,1] -> latents (B, T, h, w, 4)."""
+        b, t, h, w, _ = video.shape
+        flat = video.reshape(b * t, h, w, 3)
+        f = 2 ** (len(self.vae_config.ch_mult) - 1)
+        zc = self.vae_config.z_channels
+        noise = jax.random.normal(rng, (b * t, h // f, w // f, zc))
+        z = self._encode_fn(self.params["vae"], flat, noise)
+        return z.reshape(b, t, *z.shape[1:])
+
+    def build_conditioning(
+        self,
+        prompts: Sequence[str],
+        videos: jax.Array,            # (B, T, H, W, 3) in [-1,1]
+        rng: jax.Array,
+        *,
+        cfg_scale: float = 7.5,
+        multiple_cond_cfg: bool = False,
+        cfg_img: Optional[float] = None,
+        loop_or_interp: bool = False,
+        fs: Optional[Sequence[int]] = None,
+    ) -> CFGConditioning:
+        b, t = videos.shape[0], videos.shape[1]
+        img = videos[:, 0]
+
+        img_ctx = self.embed_image_ctx(img)
+        text_ctx = self.embed_text(prompts)
+
+        z = self.encode_video(videos, rng)
+        if loop_or_interp:
+            # starting frame + zeros + ending frame (inference.py:246-249)
+            cc = jnp.zeros_like(z)
+            cc = cc.at[:, 0].set(z[:, 0]).at[:, -1].set(z[:, -1])
+        else:
+            cc = jnp.broadcast_to(z[:, :1], z.shape)
+
+        passes_text = [text_ctx]
+        passes_img = [img_ctx]
+        if cfg_scale != 1.0:
+            if self.config.uncond_type == "empty_seq":
+                uc_text = self.embed_text([""] * b)
+            else:
+                uc_text = jnp.zeros_like(text_ctx)
+            uc_img = self.embed_image_ctx(jnp.zeros_like(img))
+            if multiple_cond_cfg and (cfg_img or cfg_scale) != 1.0:
+                # [uncond, uncond_img(text="",img=real), cond]
+                passes_text = [uc_text, uc_text, text_ctx]
+                passes_img = [uc_img, img_ctx, img_ctx]
+            else:
+                passes_text = [uc_text, text_ctx]
+                passes_img = [uc_img, img_ctx]
+
+        p = len(passes_text)
+        concat = jnp.broadcast_to(cc[None], (p, *cc.shape))
+        fs_arr = None
+        if self.unet_config.fs_condition:
+            fs_arr = jnp.asarray(fs if fs is not None
+                                 else [self.unet_config.default_fs] * b,
+                                 dtype=jnp.int32)
+        return CFGConditioning(
+            context_text=jnp.stack(passes_text),
+            context_img=jnp.stack(passes_img),
+            concat=concat,
+            fs=fs_arr,
+        )
+
+    # ------------------------------------------------------------------
+    # end-to-end sampling
+    # ------------------------------------------------------------------
+
+    def _unet_apply(self, params, x, ts, context_text, context_img, fs):
+        return self.unet.apply({"params": params}, x, ts,
+                               context_text=context_text,
+                               context_img=context_img, fs=fs)
+
+    def _sampler(self, settings: SamplerSettings):
+        """One jitted function per (settings) covering the FULL DDIM scan."""
+        if not hasattr(self, "_sampler_cache"):
+            self._sampler_cache = {}
+        if settings in self._sampler_cache:
+            return self._sampler_cache[settings]
+        table = sched_lib.build_ddim_table(
+            self.schedule, num_steps=settings.steps,
+            discretize=settings.discretize, eta=settings.eta)
+
+        @jax.jit
+        def run(unet_params, x_T, cond, rng):
+            model_fn = make_cfg_denoiser(self._unet_apply, unet_params, cond,
+                                         settings)
+            return ddim_sample(model_fn, x_T, self.schedule, table, settings,
+                               rng=rng)
+
+        self._sampler_cache[settings] = run
+        return run
+
+    def sample(
+        self,
+        prompts: Sequence[str],
+        videos: np.ndarray,            # (B, T, H, W, 3) in [-1,1]
+        *,
+        steps: int = 50,
+        cfg_scale: float = 7.5,
+        cfg_img: Optional[float] = None,
+        multiple_cond_cfg: bool = False,
+        eta: float = 1.0,
+        timestep_spacing: str = "uniform",
+        guidance_rescale: float = 0.0,
+        fs: Optional[Sequence[int]] = None,
+        loop_or_interp: bool = False,
+        n_samples: int = 1,
+        seed: int = 123,
+        x_T: Optional[np.ndarray] = None,
+        decode: bool = True,
+    ):
+        """Image-guided synthesis (reference inference.py:216-313)."""
+        assert self.params is not None, "load or init params first"
+        videos = jnp.asarray(videos, dtype=jnp.float32)
+        b, t = videos.shape[0], videos.shape[1]
+        f = 2 ** (len(self.vae_config.ch_mult) - 1)
+        lat_shape = (b, t, videos.shape[2] // f, videos.shape[3] // f,
+                     self.vae_config.z_channels)
+
+        rng = jax.random.PRNGKey(seed)
+        rng, enc_rng = jax.random.split(rng)
+
+        with use_mesh(self.mesh):
+            cond = self.build_conditioning(
+                prompts, videos, enc_rng, cfg_scale=cfg_scale,
+                multiple_cond_cfg=multiple_cond_cfg, cfg_img=cfg_img,
+                loop_or_interp=loop_or_interp, fs=fs,
+            )
+            settings = SamplerSettings(
+                steps=steps, discretize=timestep_spacing, eta=eta,
+                cfg_scale=cfg_scale, cfg_img=cfg_img,
+                guidance_rescale=guidance_rescale,
+                parameterization=self.config.parameterization,
+            )
+            run = self._sampler(settings)
+            variants = []
+            for k in range(n_samples):
+                rng, sub = jax.random.split(rng)
+                if x_T is not None:
+                    xt = jnp.asarray(x_T)
+                else:
+                    xt = jax.random.normal(sub, lat_shape, jnp.float32)
+                rng, noise_rng = jax.random.split(rng)
+                z = run(self.params["unet"], xt, cond, noise_rng)
+                variants.append(z)
+            z_all = jnp.stack(variants, axis=1)  # (B, n, T, h, w, c)
+            if not decode:
+                return np.asarray(z_all)
+            frames = jnp.stack(
+                [self.decode_latents(z_all[:, k]) for k in range(n_samples)],
+                axis=1)
+        return PipelineOutput(videos=np.asarray(frames))

@@ -167,7 +167,9 @@ def rescale_noise_cfg(
     axes = tuple(range(1, noise_pred_text.ndim))
     std_text = jnp.std(noise_pred_text, axis=axes, keepdims=True)
     std_cfg = jnp.std(noise_cfg, axis=axes, keepdims=True)
-    rescaled = noise_cfg * (std_text / std_cfg)
+    # eps guards the degenerate all-zero-output case (e.g. freshly zero-init
+    # models); for trained weights std_cfg is O(1) and this is a no-op.
+    rescaled = noise_cfg * (std_text / jnp.maximum(std_cfg, 1e-12))
     return guidance_rescale * rescaled + (1 - guidance_rescale) * noise_cfg
 
 

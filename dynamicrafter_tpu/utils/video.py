@@ -1,0 +1,113 @@
+"""Image/video IO: prompt-dir loading and mp4 writing.
+
+Behavioral parity targets:
+  * prompt-dir convention (images + one .txt of prompts, interp pairs)
+    scripts/evaluation/inference.py:71-113
+  * resize-shortest-side + center-crop preprocessing (torchvision semantics)
+  * mp4 writers  scripts/evaluation/funcs.py:206-218, utils/save_video.py
+"""
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+try:
+    from PIL import Image
+except ImportError:  # pragma: no cover
+    Image = None
+
+
+IMG_EXTS = (".jpg", ".jpeg", ".png", ".JPG", ".JPEG", ".PNG")
+
+
+def load_image(path: str, video_size: Tuple[int, int]) -> np.ndarray:
+    """-> (H, W, 3) float32 in [-1, 1], resize shortest side + center crop."""
+    assert Image is not None, "Pillow required for image loading"
+    img = Image.open(path).convert("RGB")
+    th, tw = video_size
+    short = min(th, tw)
+    w, h = img.size
+    scale = short / min(w, h)
+    img = img.resize((round(w * scale), round(h * scale)), Image.BILINEAR)
+    w, h = img.size
+    left = (w - tw) // 2
+    top = (h - th) // 2
+    img = img.crop((left, top, left + tw, top + th))
+    arr = np.asarray(img, dtype=np.float32) / 255.0
+    return arr * 2.0 - 1.0
+
+
+def load_prompt_dir(
+    data_dir: str,
+    video_size: Tuple[int, int] = (256, 256),
+    video_frames: int = 16,
+    interp: bool = False,
+):
+    """Returns (filenames, videos (N,T,H,W,3) [-1,1], prompts).
+
+    Mirrors inference.py:71-113: one sorted .txt holds prompts (one/line);
+    images sorted by name pair with prompts (2 per prompt when interp).
+    """
+    files = sorted(os.listdir(data_dir))
+    txts = [f for f in files if f.endswith(".txt")]
+    assert txts, f"no prompt .txt found in {data_dir}"
+    with open(os.path.join(data_dir, txts[0])) as f:
+        prompts = [line.strip() for line in f if line.strip()]
+    images = [f for f in files if f.endswith(IMG_EXTS)]
+    videos, names = [], []
+    for i, prompt in enumerate(prompts):
+        if interp:
+            img1 = load_image(os.path.join(data_dir, images[2 * i]), video_size)
+            img2 = load_image(os.path.join(data_dir, images[2 * i + 1]), video_size)
+            half = video_frames // 2
+            vid = np.stack([img1] * half + [img2] * (video_frames - half))
+            names.append(images[2 * i])
+        else:
+            img = load_image(os.path.join(data_dir, images[i]), video_size)
+            vid = np.stack([img] * video_frames)
+            names.append(images[i])
+        videos.append(vid)
+    return names, np.stack(videos), prompts
+
+
+def to_uint8(frames: np.ndarray) -> np.ndarray:
+    """[-1,1] float -> uint8."""
+    return np.clip((frames + 1.0) / 2.0 * 255.0 + 0.5, 0, 255).astype(np.uint8)
+
+
+def save_video(frames: np.ndarray, path: str, fps: int = 8) -> None:
+    """frames: (T, H, W, 3) float [-1,1] or uint8 -> mp4."""
+    import cv2
+
+    if frames.dtype != np.uint8:
+        frames = to_uint8(frames)
+    t, h, w, _ = frames.shape
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    writer = cv2.VideoWriter(
+        path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+    try:
+        for frame in frames:
+            writer.write(cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
+    finally:
+        writer.release()
+
+
+def save_results_separate(
+    videos: np.ndarray,                # (B, n_samples, T, H, W, 3) [-1,1]
+    filenames: Sequence[str],
+    savedir: str,
+    fps: int = 8,
+) -> List[str]:
+    """Per-sample mp4s, mirroring save_results_seperate (inference.py:142-162)."""
+    paths = []
+    os.makedirs(savedir, exist_ok=True)
+    for b in range(videos.shape[0]):
+        stem = os.path.splitext(os.path.basename(filenames[b]))[0]
+        for k in range(videos.shape[1]):
+            suffix = f"_sample{k}" if videos.shape[1] > 1 else ""
+            path = os.path.join(savedir, f"{stem}{suffix}.mp4")
+            save_video(videos[b, k], path, fps=fps)
+            paths.append(path)
+    return paths

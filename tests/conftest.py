@@ -4,7 +4,11 @@ Must set env vars before jax initializes a backend.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force the CPU backend with 8 virtual devices. The axon TPU plugin
+# (sitecustomize) would otherwise grab the backend regardless of
+# JAX_PLATFORMS; clearing PALLAS_AXON_POOL_IPS disables it.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -12,6 +16,9 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 import jax
 
+# The axon plugin sets jax_platforms="axon,cpu" via jax.config at interpreter
+# startup; override it back to CPU-only for the test suite.
+jax.config.update("jax_platforms", "cpu")
 # True fp32 matmuls for parity tests (JAX's default CPU path may use a
 # lower-precision dot that costs ~1e-2 absolute error).
 jax.config.update("jax_default_matmul_precision", "highest")

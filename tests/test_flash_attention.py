@@ -1,0 +1,55 @@
+"""Flash-attention kernel correctness vs the XLA reference path.
+
+Runs in Pallas interpret mode on CPU; the same kernel compiles on TPU.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dynamicrafter_tpu.ops.attention import xla_attention
+from dynamicrafter_tpu.ops.flash_attention import flash_attention
+
+
+@pytest.mark.parametrize("lq,lk", [(256, 256), (320, 320), (2560, 2560),
+                                   (640, 77)])
+def test_flash_matches_xla(lq, lk):
+    rng = np.random.default_rng(0)
+    shape_q = (2, lq, 2, 64)
+    shape_k = (2, lk, 2, 64)
+    q = jnp.asarray(rng.standard_normal(shape_q).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal(shape_k).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal(shape_k).astype(np.float32))
+    ref = np.asarray(xla_attention(q, k, v))
+    out = np.asarray(flash_attention(q, k, v, interpret=True))
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_flash_extra_batch_dims():
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.standard_normal((2, 3, 130, 2, 32)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((2, 3, 257, 2, 32)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((2, 3, 257, 2, 32)).astype(np.float32))
+    ref = np.asarray(xla_attention(q, k, v))
+    out = np.asarray(flash_attention(q, k, v, interpret=True))
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_flash_grad_matches_xla():
+    rng = np.random.default_rng(2)
+    q = jnp.asarray(rng.standard_normal((1, 256, 1, 32)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((1, 256, 1, 32)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((1, 256, 1, 32)).astype(np.float32))
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, interpret=True) ** 2)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(xla_attention(q, k, v) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-3)

@@ -1,0 +1,72 @@
+"""End-to-end pipeline smoke tests on a tiny random-init model (CPU)."""
+import numpy as np
+import pytest
+
+from conftest import requires_reference  # noqa: F401
+
+from dynamicrafter_tpu.config import ModelConfig
+from dynamicrafter_tpu.pipeline import DynamiCrafterPipeline
+from tiny_config import TINY_MODEL_CONFIG
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    cfg = ModelConfig(TINY_MODEL_CONFIG)
+    p = DynamiCrafterPipeline(cfg)
+    p.init_random(seed=0, latent_hw=(8, 8))
+    return p
+
+
+def _videos(b=1, t=4, hw=16):
+    rng = np.random.default_rng(0)
+    return rng.uniform(-1, 1, (b, t, hw, hw, 3)).astype(np.float32)
+
+
+def test_sample_standard_cfg(pipe):
+    out = pipe.sample(
+        ["a cat playing piano"], _videos(), steps=3, cfg_scale=2.0,
+        eta=0.0, timestep_spacing="uniform_trailing", guidance_rescale=0.7,
+        fs=[3], seed=42,
+    )
+    assert out.videos.shape == (1, 1, 4, 16, 16, 3)
+    assert np.all(np.isfinite(out.videos))
+
+
+def test_sample_deterministic_given_seed(pipe):
+    kw = dict(steps=2, cfg_scale=1.5, eta=1.0,
+              timestep_spacing="uniform_trailing", seed=7)
+    a = pipe.sample(["x"], _videos(), **kw).videos
+    b = pipe.sample(["x"], _videos(), **kw).videos
+    np.testing.assert_array_equal(a, b)
+
+
+def test_sample_multicond(pipe):
+    out = pipe.sample(
+        ["a dog"], _videos(), steps=2, cfg_scale=2.0, cfg_img=1.5,
+        multiple_cond_cfg=True, eta=0.0, timestep_spacing="uniform_trailing",
+        seed=1,
+    )
+    assert out.videos.shape == (1, 1, 4, 16, 16, 3)
+    assert np.all(np.isfinite(out.videos))
+
+
+def test_sample_interp_mode(pipe):
+    out = pipe.sample(
+        ["loop"], _videos(), steps=2, cfg_scale=2.0, eta=0.0,
+        timestep_spacing="uniform_trailing", loop_or_interp=True, seed=2,
+    )
+    assert np.all(np.isfinite(out.videos))
+
+
+def test_latents_only_and_decode(pipe):
+    z = pipe.sample(["x"], _videos(), steps=2, cfg_scale=1.0,
+                    timestep_spacing="uniform_trailing", seed=3, decode=False)
+    assert z.shape == (1, 1, 4, 8, 8, 4)
+    frames = pipe.decode_latents(z[:, 0], perframe=True)
+    assert frames.shape == (1, 4, 16, 16, 3)
+
+
+def test_no_cfg_single_pass(pipe):
+    out = pipe.sample(["x"], _videos(), steps=2, cfg_scale=1.0,
+                      timestep_spacing="uniform_trailing", seed=4)
+    assert np.all(np.isfinite(out.videos))

@@ -1,0 +1,98 @@
+"""Training-step tests: loss decreases-ish, params update, EMA tracks,
+multi-device dp sharding executes on the virtual CPU mesh."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dynamicrafter_tpu.config import ModelConfig
+from dynamicrafter_tpu.parallel.sharding import create_mesh, use_mesh
+from dynamicrafter_tpu.pipeline import DynamiCrafterPipeline
+from dynamicrafter_tpu.training.trainer import (
+    TrainConfig, create_train_state, make_train_step,
+)
+from tiny_config import TINY_MODEL_CONFIG
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    cfg = ModelConfig(TINY_MODEL_CONFIG)
+    p = DynamiCrafterPipeline(cfg)
+    p.init_random(seed=0, latent_hw=(8, 8))
+    return p
+
+
+def _batch(pipe, b=2, t=4, hw=16):
+    rng = np.random.default_rng(0)
+    return {
+        "video": jnp.asarray(
+            rng.uniform(-1, 1, (b, t, hw, hw, 3)).astype(np.float32)),
+        "tokens": jnp.asarray(pipe.tokenizer(["a cat", "a dog"])),
+        "fs": jnp.asarray([3, 5], jnp.int32),
+    }
+
+
+def test_train_step_updates_params(pipe):
+    cfg = TrainConfig(learning_rate=1e-3, parameterization="v", remat=True,
+                      use_ema=True)
+    trainable = {"unet": pipe.params["unet"],
+                 "resampler": pipe.params["resampler"]}
+    frozen = {k: v for k, v in pipe.params.items()
+              if k in ("vae", "clip_text", "clip_vision")}
+    state, tx = create_train_state(trainable, cfg)
+    step = jax.jit(make_train_step(pipe, cfg, tx))
+
+    batch = _batch(pipe)
+    rng = jax.random.PRNGKey(0)
+    state1, m1 = step(state, frozen, batch, rng)
+    assert np.isfinite(float(m1["loss"]))
+    assert float(m1["grad_norm"]) > 0
+    # params changed globally
+    diff = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.sum(jnp.abs(a - b))), state.params, state1.params)
+    total = sum(jax.tree_util.tree_leaves(diff))
+    assert total > 0
+    # EMA moved toward new params but is not equal to them (warmup decay)
+    ema_diff = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.sum(jnp.abs(a - b))),
+        state1.ema_params, state1.params)
+    assert sum(jax.tree_util.tree_leaves(ema_diff)) > 0
+    state2, m2 = step(state1, frozen, batch, rng)
+    assert int(state2.step) == 2
+
+
+def test_train_step_multidevice_dp(pipe):
+    n = len(jax.devices())
+    assert n == 8, "conftest should provide 8 virtual CPU devices"
+    mesh = create_mesh(dp=2, sp=4)
+    cfg = TrainConfig(learning_rate=1e-3, parameterization="v", remat=False,
+                      use_ema=False)
+    trainable = {"unet": pipe.params["unet"]}
+    frozen = {k: v for k, v in pipe.params.items()
+              if k in ("vae", "clip_text", "clip_vision", "resampler")}
+    state, tx = create_train_state(trainable, cfg)
+    step = make_train_step(pipe, cfg, tx)
+    batch = _batch(pipe)
+    with use_mesh(mesh):
+        jstep = jax.jit(step)
+        state1, m = jstep(state, frozen, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_accumulation_and_clipping(pipe):
+    cfg = TrainConfig(learning_rate=1e-3, accumulate_grad_batches=2,
+                      grad_clip=0.5, use_ema=False, remat=False)
+    trainable = {"unet": pipe.params["unet"]}
+    frozen = {k: v for k, v in pipe.params.items() if k != "unet"}
+    state, tx = create_train_state(trainable, cfg)
+    step = jax.jit(make_train_step(pipe, cfg, tx))
+    batch = _batch(pipe)
+    s1, _ = step(state, frozen, batch, jax.random.PRNGKey(0))
+    # first micro-step of a 2-step accumulation: params unchanged
+    b0 = jax.tree_util.tree_leaves(state.params)[0]
+    b1 = jax.tree_util.tree_leaves(s1.params)[0]
+    np.testing.assert_array_equal(np.asarray(b0), np.asarray(b1))
+    s2, _ = step(s1, frozen, batch, jax.random.PRNGKey(1))
+    b2 = jax.tree_util.tree_leaves(s2.params)[0]
+    assert not np.allclose(np.asarray(b1), np.asarray(b2))
