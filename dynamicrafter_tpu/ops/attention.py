@@ -38,8 +38,12 @@ def _use_flash(q, k, mask, backend: str) -> bool:
         on_tpu = False
     if backend == "flash":
         return True
-    # auto: flash pays off for long query/kv lengths on TPU
-    return on_tpu and q.shape[-3] >= 512 and k.shape[-3] >= 512
+    if not on_tpu or k.shape[-3] < 512:
+        return False
+    # Measured on v5e (bf16, d=64): flash wins at L=2560/5h (10.6 vs 17.8 ms)
+    # and is mandatory at L=9216 (XLA OOMs); XLA wins at L=2304/10h.
+    lq, heads = q.shape[-3], q.shape[-2]
+    return lq >= 4096 or (lq >= 2048 and heads <= 8)
 
 
 def xla_attention(

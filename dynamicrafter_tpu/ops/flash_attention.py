@@ -19,8 +19,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BLOCK_Q = 256
-DEFAULT_BLOCK_K = 256
+DEFAULT_BLOCK_Q = 512
+DEFAULT_BLOCK_K = 1024
 _NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
@@ -172,7 +172,8 @@ def flash_attention(
     qr = q.reshape(n, lq, heads, d).transpose(0, 2, 1, 3)
     kr = k.reshape(n, lk, heads, d).transpose(0, 2, 1, 3)
     vr = v.reshape(n, lk, heads, d).transpose(0, 2, 1, 3)
-    block_q = min(block_q, max(128, lq))
-    block_k = min(block_k, max(128, lk))
+    round128 = lambda x: ((x + 127) // 128) * 128
+    block_q = min(block_q, round128(lq))
+    block_k = min(block_k, round128(lk))
     out = _flash_attention_nhld(qr, kr, vr, scale, block_q, block_k, interpret)
     return out.transpose(0, 2, 1, 3).reshape(*batch_shape, lq, heads, d)
