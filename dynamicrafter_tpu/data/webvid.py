@@ -1,0 +1,231 @@
+"""WebVid-style video dataset + batched host pipeline.
+
+Behavioral parity target: lvdm/data/webvid.py:13-202 —
+  * CSV metadata (page_dir, videoid, name) -> <data_dir>/<page_dir>/<videoid>.mp4
+  * random or fixed frame stride with clamp-to-fit fallback
+    (webvid.py:119-135), optional fixed-fps resampling
+  * resize shortest side + center crop, output in [-1, 1]
+  * decode failures skip to the next index, forever (webvid.py:95-149)
+
+TPU-side notes: decoding runs on host CPU threads; batches are prefetched on
+a background queue so the accelerator never waits on IO. Output layout is
+(T, H, W, 3) channels-last float32, matching the model's native layout (the
+reference emits c t h w and reshapes later).
+"""
+from __future__ import annotations
+
+import csv
+import os
+import queue
+import random
+import threading
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def _resize_center_crop(frames: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
+    """frames (T, H, W, 3) uint8 -> (T, th, tw, 3) uint8."""
+    import cv2
+
+    th, tw = size
+    t, h, w, _ = frames.shape
+    scale = max(th / h, tw / w)
+    nh, nw = int(round(h * scale)), int(round(w * scale))
+    out = np.empty((t, nh, nw, 3), dtype=frames.dtype)
+    for i in range(t):
+        out[i] = cv2.resize(frames[i], (nw, nh), interpolation=cv2.INTER_LINEAR)
+    top = (nh - th) // 2
+    left = (nw - tw) // 2
+    return out[:, top:top + th, left:left + tw]
+
+
+class WebVidDataset:
+    """Map-style dataset over a WebVid CSV + mp4 tree."""
+
+    def __init__(
+        self,
+        meta_path: str,
+        data_dir: str,
+        video_length: int = 16,
+        frame_stride: int = 4,
+        frame_stride_min: int = 1,
+        resolution: Tuple[int, int] = (256, 256),
+        random_fs: bool = False,
+        fixed_fps: Optional[float] = None,
+        fps_max: Optional[float] = None,
+        load_raw_resolution: bool = True,
+        seed: Optional[int] = None,
+    ):
+        self.data_dir = data_dir
+        self.video_length = video_length
+        self.frame_stride = frame_stride
+        self.frame_stride_min = frame_stride_min
+        self.resolution = tuple(resolution)
+        self.random_fs = random_fs
+        self.fixed_fps = fixed_fps
+        self.fps_max = fps_max
+        self.rng = random.Random(seed)
+        self.metadata: List[Dict[str, str]] = []
+        with open(meta_path) as f:
+            for row in csv.DictReader(f):
+                self.metadata.append(row)
+
+    def __len__(self) -> int:
+        return len(self.metadata)
+
+    def _video_path(self, row: Dict[str, str]) -> str:
+        rel = os.path.join(row.get("page_dir", ""), f"{row['videoid']}.mp4")
+        return os.path.join(self.data_dir, rel)
+
+    def _read_video(self, path: str) -> Tuple[np.ndarray, float]:
+        import cv2
+
+        cap = cv2.VideoCapture(path)
+        if not cap.isOpened():
+            raise IOError(f"cannot open {path}")
+        fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+        frames = []
+        ok, frame = cap.read()
+        while ok:
+            frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+            ok, frame = cap.read()
+        cap.release()
+        if not frames:
+            raise IOError(f"no frames decoded from {path}")
+        return np.stack(frames), float(fps)
+
+    def __getitem__(self, index: int) -> Dict[str, object]:
+        """Retry-forever loop over subsequent indices (webvid.py:95-149)."""
+        n = len(self.metadata)
+        for _ in range(n):
+            row = self.metadata[index % n]
+            try:
+                sample = self._load_one(row)
+                return sample
+            except Exception:
+                index += 1
+        raise RuntimeError("no decodable videos in dataset")
+
+    def _load_one(self, row: Dict[str, str]) -> Dict[str, object]:
+        frames, fps = self._read_video(self._video_path(row))
+        n = frames.shape[0]
+        vl = self.video_length
+
+        if self.fixed_fps is not None:
+            fs_base = max(1, int(round(fps / self.fixed_fps)))
+        elif self.random_fs:
+            fs_base = self.rng.randint(self.frame_stride_min, self.frame_stride)
+        else:
+            fs_base = self.frame_stride
+
+        # clamp stride so vl frames fit (webvid.py:119-135)
+        fs = fs_base
+        required = (vl - 1) * fs + 1
+        if required > n:
+            fs = max(1, (n - 1) // max(1, vl - 1))
+            required = (vl - 1) * fs + 1
+            if required > n:
+                raise IOError(f"video too short: {n} frames")
+        start = self.rng.randint(0, n - required)
+        idx = start + np.arange(vl) * fs
+        clip = frames[idx]
+        clip = _resize_center_crop(clip, self.resolution)
+        video = clip.astype(np.float32) / 255.0 * 2.0 - 1.0
+
+        out_fps = fps / fs
+        if self.fps_max is not None:
+            out_fps = min(out_fps, self.fps_max)
+        return {
+            "video": video,                      # (T, H, W, 3) in [-1, 1]
+            "caption": row.get("name", ""),
+            "fps": np.float32(out_fps),
+            "frame_stride": np.int32(fs),
+        }
+
+
+class SyntheticVideoDataset:
+    """Procedural clips for tests/benchmarks (no files needed)."""
+
+    def __init__(self, video_length=16, resolution=(64, 64), size=64, seed=0):
+        self.video_length = video_length
+        self.resolution = tuple(resolution)
+        self.size = size
+        self.seed = seed
+
+    def __len__(self):
+        return self.size
+
+    def __getitem__(self, index):
+        rng = np.random.default_rng(self.seed + index)
+        t, (h, w) = self.video_length, self.resolution
+        base = rng.uniform(-1, 1, (h, w, 3)).astype(np.float32)
+        drift = rng.uniform(-0.05, 0.05, (t, 1, 1, 3)).astype(np.float32)
+        video = np.clip(base[None] + np.cumsum(drift, 0), -1, 1)
+        return {
+            "video": video,
+            "caption": f"synthetic clip {index}",
+            "fps": np.float32(8.0),
+            "frame_stride": np.int32(rng.integers(1, 6)),
+        }
+
+
+class DataLoader:
+    """Shuffled, batched, background-prefetched loader.
+
+    Replaces DataModuleFromConfig + torch DataLoader (main/utils_data.py:44-136)
+    with a thread pool feeding a bounded queue; batches are dict-of-arrays
+    ready for device_put.
+    """
+
+    def __init__(self, dataset, batch_size: int, tokenizer=None,
+                 shuffle: bool = True, seed: int = 0, num_workers: int = 4,
+                 prefetch: int = 4, fs_key: str = "frame_stride"):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.tokenizer = tokenizer
+        self.shuffle = shuffle
+        self.seed = seed
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self.fs_key = fs_key
+
+    def _collate(self, samples: Sequence[Dict]) -> Dict[str, np.ndarray]:
+        batch = {
+            "video": np.stack([s["video"] for s in samples]),
+            "fs": np.stack([np.asarray(s[self.fs_key], np.int32)
+                            for s in samples]),
+            "captions": [s["caption"] for s in samples],
+        }
+        if self.tokenizer is not None:
+            batch["tokens"] = self.tokenizer([s["caption"] for s in samples])
+        return batch
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        rng = random.Random(self.seed)
+        order = list(range(len(self.dataset)))
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            epoch = 0
+            while not stop.is_set():
+                idxs = list(order)
+                if self.shuffle:
+                    rng.shuffle(idxs)
+                for i0 in range(0, len(idxs) - self.batch_size + 1,
+                                self.batch_size):
+                    if stop.is_set():
+                        return
+                    samples = [self.dataset[i]
+                               for i in idxs[i0:i0 + self.batch_size]]
+                    q.put(self._collate(samples))
+                epoch += 1
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                yield q.get()
+        finally:
+            stop.set()

@@ -1,0 +1,115 @@
+"""Training observability: metrics logging + periodic sample logging.
+
+Replaces the reference's TensorBoard/CSV loggers + ImageLogger callback
+(main/utils_train.py:99-123, main/callbacks.py:15-101) and the CUDACallback
+timing (callbacks.py:104-133) with a host-side MetricLogger (CSV always,
+TensorBoard when available) and a SampleLogger that runs the full DDIM
+sampler every N steps and writes mp4s.
+"""
+from __future__ import annotations
+
+import csv
+import logging
+import os
+import time
+from typing import Dict, Optional
+
+import numpy as np
+
+mainlogger = logging.getLogger("mainlogger")
+
+
+def setup_logger(logdir: str) -> logging.Logger:
+    """File + console logger (main/utils_train.py:162-173)."""
+    os.makedirs(logdir, exist_ok=True)
+    if not mainlogger.handlers:
+        mainlogger.setLevel(logging.INFO)
+        fh = logging.FileHandler(os.path.join(logdir, "train.log"))
+        sh = logging.StreamHandler()
+        fmt = logging.Formatter("%(asctime)s %(levelname)s %(message)s")
+        fh.setFormatter(fmt)
+        sh.setFormatter(fmt)
+        mainlogger.addHandler(fh)
+        mainlogger.addHandler(sh)
+    return mainlogger
+
+
+class MetricLogger:
+    def __init__(self, logdir: str, use_tensorboard: bool = True):
+        os.makedirs(logdir, exist_ok=True)
+        self._csv_path = os.path.join(logdir, "metrics.csv")
+        self._csv_file = open(self._csv_path, "a", newline="")
+        self._csv = None
+        self._tb = None
+        if use_tensorboard:
+            try:
+                from tensorboardX import SummaryWriter  # type: ignore
+                self._tb = SummaryWriter(logdir)
+            except ImportError:
+                try:
+                    import tensorflow as tf  # type: ignore
+                    self._tb = tf.summary.create_file_writer(logdir)
+                    self._tb_is_tf = True
+                except ImportError:
+                    self._tb = None
+        self._tb_is_tf = getattr(self, "_tb_is_tf", False)
+        self._t0 = time.time()
+
+    def log(self, step: int, metrics: Dict[str, float]) -> None:
+        row = {"step": step, "wall_s": round(time.time() - self._t0, 2),
+               **{k: float(v) for k, v in metrics.items()}}
+        if self._csv is None:
+            self._csv = csv.DictWriter(self._csv_file, fieldnames=list(row))
+            if self._csv_file.tell() == 0:
+                self._csv.writeheader()
+        self._csv.writerow(row)
+        self._csv_file.flush()
+        if self._tb is not None:
+            if self._tb_is_tf:
+                with self._tb.as_default():
+                    import tensorflow as tf
+                    for k, v in metrics.items():
+                        tf.summary.scalar(k, float(v), step=step)
+            else:
+                for k, v in metrics.items():
+                    self._tb.add_scalar(k, float(v), step)
+
+    def close(self):
+        self._csv_file.close()
+
+
+class SampleLogger:
+    """ImageLogger equivalent: run full DDIM sampling on a fixed batch every
+    `every_n_steps` and save mp4s under <logdir>/samples."""
+
+    def __init__(self, pipe, logdir: str, every_n_steps: int = 500,
+                 sample_kwargs: Optional[dict] = None, max_samples: int = 2,
+                 fps: int = 8):
+        self.pipe = pipe
+        self.dir = os.path.join(logdir, "samples")
+        os.makedirs(self.dir, exist_ok=True)
+        self.every = every_n_steps
+        self.kwargs = dict(steps=50, cfg_scale=7.5,
+                           timestep_spacing="uniform_trailing",
+                           guidance_rescale=0.7)
+        self.kwargs.update(sample_kwargs or {})
+        self.max_samples = max_samples
+        self.fps = fps
+
+    def maybe_log(self, step: int, batch: Dict) -> None:
+        if step % self.every != 0:
+            return
+        from dynamicrafter_tpu.utils.video import save_video
+
+        videos = np.asarray(batch["video"])[: self.max_samples]
+        prompts = list(batch.get("captions", [""] * len(videos)))[: self.max_samples]
+        out = self.pipe.sample(prompts, videos,
+                               fs=[int(x) for x in
+                                   np.asarray(batch["fs"])[: self.max_samples]],
+                               **self.kwargs)
+        for i in range(out.videos.shape[0]):
+            save_video(out.videos[i, 0],
+                       os.path.join(self.dir, f"step{step:07d}_{i}.mp4"),
+                       fps=self.fps)
+        mainlogger.info(f"[SampleLogger] wrote {out.videos.shape[0]} samples "
+                        f"at step {step}")

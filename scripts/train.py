@@ -1,0 +1,230 @@
+"""Training CLI: fine-tune DynamiCrafter-TPU from a config + checkpoint.
+
+Replaces main/trainer.py (Lightning) with a pjit loop. Reads reference-style
+training YAMLs (model: / data: / lightning: roots, e.g.
+configs/training_512_v1.0.yaml): base_learning_rate + scale_lr
+(trainer.py:88-93), accumulate_grad_batches / max_steps / gradient_clip_val
+(lightning.trainer), checkpoint intervals (lightning.callbacks), sample
+logging (ImageLogger params).
+
+Signals (reference trainer.py:129-143): SIGUSR1 -> checkpoint immediately.
+
+Run:
+  python scripts/train.py --config configs/training_512_v1.0.yaml \
+      --name run0 --logdir ./logs [--pretrained model.ckpt] [--auto_resume]
+  (add --synthetic_data for a data-free smoke run)
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import signal
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def get_parser():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", type=str, nargs="+", required=True)
+    p.add_argument("--name", type=str, default="run")
+    p.add_argument("--logdir", type=str, default="./logs")
+    p.add_argument("--pretrained", type=str, default=None,
+                   help="torch .ckpt (converted) or orbax params dir")
+    p.add_argument("--auto_resume", action="store_true")
+    p.add_argument("--max_steps", type=int, default=None)
+    p.add_argument("--bs", type=int, default=None)
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--seed", type=int, default=20230211)
+    p.add_argument("--dp", type=int, default=-1, help="data axis (-1: all)")
+    p.add_argument("--sp", type=int, default=1, help="frame/seq axis")
+    p.add_argument("--bf16", action="store_true")
+    p.add_argument("--synthetic_data", action="store_true")
+    p.add_argument("--log_every", type=int, default=50)
+    p.add_argument("--sample_every", type=int, default=0,
+                   help="0 disables sample logging")
+    return p
+
+
+def deep_update(base: dict, extra: dict) -> dict:
+    for k, v in extra.items():
+        if isinstance(v, dict) and isinstance(base.get(k), dict):
+            deep_update(base[k], v)
+        else:
+            base[k] = v
+    return base
+
+
+def main():
+    args = get_parser().parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import yaml
+
+    from dynamicrafter_tpu.config import ModelConfig
+    from dynamicrafter_tpu.data.webvid import (
+        DataLoader, SyntheticVideoDataset, WebVidDataset,
+    )
+    from dynamicrafter_tpu.parallel.sharding import create_mesh, use_mesh
+    from dynamicrafter_tpu.pipeline import DynamiCrafterPipeline
+    from dynamicrafter_tpu.training.checkpoints import CheckpointManager
+    from dynamicrafter_tpu.training.logging import (
+        MetricLogger, SampleLogger, setup_logger,
+    )
+    from dynamicrafter_tpu.training.trainer import (
+        TrainConfig, create_train_state, make_train_step,
+    )
+
+    raw = {}
+    for path in args.config:
+        with open(path) as f:
+            deep_update(raw, yaml.safe_load(f))
+
+    workdir = os.path.join(args.logdir, args.name)
+    os.makedirs(workdir, exist_ok=True)
+    log = setup_logger(workdir)
+
+    model_cfg = ModelConfig(raw)
+    lightning = raw.get("lightning", {})
+    trainer_cfg = lightning.get("trainer", {})
+    data_cfg = raw.get("data", {}).get("params", {})
+
+    base_lr = args.lr or raw.get("model", {}).get("base_learning_rate", 1e-5)
+    scale_lr = raw.get("model", {}).get("scale_lr", False)
+    bs = args.bs or data_cfg.get("batch_size", 1)
+    max_steps = args.max_steps or trainer_cfg.get("max_steps", 100000)
+    accum = trainer_cfg.get("accumulate_grad_batches", 1)
+    grad_clip = trainer_cfg.get("gradient_clip_val", 0.5)
+
+    n_dev = len(jax.devices())
+    mesh = None
+    if n_dev > 1:
+        dp = args.dp if args.dp > 0 else n_dev // args.sp
+        mesh = create_mesh(dp=dp, sp=args.sp)
+    lr = base_lr * (n_dev * bs if scale_lr else 1.0)  # trainer.py:88-93
+    log.info(f"devices={n_dev} mesh={mesh} lr={lr} bs={bs} accum={accum}")
+
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    pipe = DynamiCrafterPipeline(model_cfg, dtype=dtype, mesh=mesh)
+
+    if args.pretrained and args.pretrained.endswith((".ckpt", ".pt", ".pth")):
+        loaded = DynamiCrafterPipeline.from_checkpoint(
+            args.config[0], args.pretrained, dtype=dtype, mesh=mesh)
+        pipe.params = loaded.params
+        log.info(f"loaded pretrained torch checkpoint {args.pretrained}")
+    else:
+        image_size = model_cfg.params.get("image_size", [40, 64])
+        pipe.init_random(seed=args.seed, latent_hw=tuple(image_size))
+        if args.pretrained:
+            from dynamicrafter_tpu.training.checkpoints import load_params
+            pipe.params = load_params(args.pretrained, pipe.params)
+            log.info(f"loaded orbax params {args.pretrained}")
+        else:
+            log.info("WARNING: random-init weights (no pretrained checkpoint)")
+
+    tcfg = TrainConfig(
+        learning_rate=lr,
+        grad_clip=grad_clip,
+        accumulate_grad_batches=accum,
+        uncond_prob=model_cfg.uncond_prob,
+        rand_cond_frame=model_cfg.rand_cond_frame,
+        interp_mode=model_cfg.interp_mode,
+        parameterization=model_cfg.parameterization,
+        loss_type=model_cfg.loss_type,
+        use_ema=model_cfg.params.get("use_ema", False),
+        remat=model_cfg.unet.get("use_checkpoint", True),
+    )
+    trainable = {"unet": pipe.params["unet"]}
+    if model_cfg.params.get("image_proj_model_trainable", True) \
+            and "resampler" in pipe.params:
+        trainable["resampler"] = pipe.params["resampler"]
+    frozen = {k: v for k, v in pipe.params.items() if k not in trainable}
+
+    state, tx = create_train_state(trainable, tcfg)
+    step_fn = jax.jit(make_train_step(pipe, tcfg, tx), donate_argnums=(0,))
+
+    ckpt_cfg = lightning.get("callbacks", {}).get("model_checkpoint", {}) \
+        .get("params", {})
+    ckpt_every = ckpt_cfg.get("every_n_train_steps", 9000)
+    mngr = CheckpointManager(os.path.join(workdir, "checkpoints"),
+                             max_to_keep=3)
+    if args.auto_resume:
+        restored = mngr.restore(state)
+        if restored is not None:
+            state = restored
+            log.info(f"resumed from step {int(state.step)}")
+
+    # data
+    tr = data_cfg.get("train", {}).get("params", {})
+    if args.synthetic_data or not tr:
+        res = tuple(tr.get("resolution", (64, 64)))
+        dataset = SyntheticVideoDataset(
+            video_length=tr.get("video_length",
+                                pipe.unet_config.temporal_length or 16),
+            resolution=res)
+        log.info("using SyntheticVideoDataset")
+    else:
+        dataset = WebVidDataset(
+            meta_path=tr["meta_path"], data_dir=tr["data_dir"],
+            video_length=tr.get("video_length", 16),
+            frame_stride=tr.get("frame_stride", 4),
+            resolution=tuple(tr.get("resolution", (320, 512))),
+            random_fs=tr.get("random_fs", False),
+        )
+    loader = DataLoader(dataset, batch_size=bs, tokenizer=pipe.tokenizer,
+                        seed=args.seed,
+                        num_workers=raw.get("data", {}).get("params", {})
+                        .get("num_workers", 4))
+
+    metrics_log = MetricLogger(workdir)
+    sample_logger = None
+    if args.sample_every > 0:
+        bl = lightning.get("callbacks", {}).get("batch_logger", {}) \
+            .get("params", {})
+        sample_logger = SampleLogger(
+            pipe, workdir, every_n_steps=args.sample_every,
+            sample_kwargs=bl.get("log_images_kwargs"))
+
+    # SIGUSR1 -> immediate checkpoint (reference trainer.py:129-143)
+    want_ckpt = {"now": False}
+    signal.signal(signal.SIGUSR1, lambda *_: want_ckpt.update(now=True))
+
+    rng = jax.random.PRNGKey(args.seed)
+    t_last = time.time()
+    with use_mesh(mesh):
+        for batch in loader:
+            step = int(state.step)
+            if step >= max_steps:
+                break
+            jbatch = {"video": jnp.asarray(batch["video"]),
+                      "tokens": jnp.asarray(batch["tokens"]),
+                      "fs": jnp.asarray(batch["fs"])}
+            state, m = step_fn(state, frozen, jbatch, rng)
+            step = int(state.step)
+            if step % args.log_every == 0:
+                vals = {k: float(v) for k, v in m.items()}
+                vals["steps_per_s"] = args.log_every / (time.time() - t_last)
+                t_last = time.time()
+                metrics_log.log(step, vals)
+                log.info(f"step {step}: " + " ".join(
+                    f"{k}={v:.4g}" for k, v in vals.items()))
+            if step % ckpt_every == 0 or want_ckpt["now"]:
+                pipe.params = {**frozen, **{k: state.params[k]
+                                            for k in trainable}}
+                mngr.save(step, state, force=want_ckpt["now"])
+                want_ckpt["now"] = False
+                log.info(f"checkpoint at step {step}")
+            if sample_logger is not None:
+                pipe.params = {**frozen, **{k: state.params[k]
+                                            for k in trainable}}
+                sample_logger.maybe_log(step, batch)
+    mngr.save(int(state.step), state, force=True)
+    mngr.wait()
+    log.info(f"done at step {int(state.step)}")
+
+
+if __name__ == "__main__":
+    main()

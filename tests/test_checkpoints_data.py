@@ -1,0 +1,129 @@
+"""Checkpoint save/restore + data pipeline + train CLI smoke tests."""
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dynamicrafter_tpu.data.webvid import (
+    DataLoader, SyntheticVideoDataset, WebVidDataset, _resize_center_crop,
+)
+from dynamicrafter_tpu.training.checkpoints import (
+    CheckpointManager, load_params, save_params,
+)
+from dynamicrafter_tpu.utils.tokenizer import HashTokenizer
+
+
+def test_params_save_load(tmp_path):
+    params = {"a": {"kernel": jnp.arange(6.0).reshape(2, 3)},
+              "b": jnp.ones((4,))}
+    path = str(tmp_path / "params")
+    save_params(path, params)
+    loaded = load_params(path, params)
+    np.testing.assert_array_equal(np.asarray(loaded["a"]["kernel"]),
+                                  np.asarray(params["a"]["kernel"]))
+
+
+def test_checkpoint_manager_roundtrip(tmp_path):
+    from dynamicrafter_tpu.training.trainer import TrainState
+
+    state = TrainState(step=jnp.asarray(7), params={"w": jnp.ones((3,))},
+                       opt_state=(), ema_params={"w": jnp.zeros((3,))})
+    mngr = CheckpointManager(str(tmp_path / "ckpts"), max_to_keep=2)
+    assert mngr.save(7, state)
+    mngr.wait()
+    restored = mngr.restore(state)
+    assert int(restored.step) == 7
+    np.testing.assert_array_equal(np.asarray(restored.ema_params["w"]),
+                                  np.zeros(3))
+    assert mngr.latest_step() == 7
+    mngr.close()
+
+
+def test_synthetic_dataset_and_loader():
+    ds = SyntheticVideoDataset(video_length=4, resolution=(16, 16), size=10)
+    sample = ds[0]
+    assert sample["video"].shape == (4, 16, 16, 3)
+    assert -1.0 <= sample["video"].min() and sample["video"].max() <= 1.0
+
+    loader = DataLoader(ds, batch_size=3, tokenizer=HashTokenizer(),
+                        num_workers=1, prefetch=2)
+    it = iter(loader)
+    batch = next(it)
+    assert batch["video"].shape == (3, 4, 16, 16, 3)
+    assert batch["tokens"].shape == (3, 77)
+    assert batch["fs"].shape == (3,)
+    it.close()
+
+
+def test_resize_center_crop():
+    frames = np.zeros((2, 100, 60, 3), np.uint8)
+    out = _resize_center_crop(frames, (32, 48))
+    assert out.shape == (2, 32, 48, 3)
+
+
+def test_webvid_dataset(tmp_path):
+    import cv2
+
+    # build two tiny mp4s + csv metadata
+    vid_dir = tmp_path / "videos" / "p0"
+    vid_dir.mkdir(parents=True)
+    for vid in ("000", "001"):
+        writer = cv2.VideoWriter(str(vid_dir / f"{vid}.mp4"),
+                                 cv2.VideoWriter_fourcc(*"mp4v"), 10, (64, 48))
+        for i in range(30):
+            frame = np.full((48, 64, 3), i * 8 % 255, np.uint8)
+            writer.write(frame)
+        writer.release()
+    meta = tmp_path / "meta.csv"
+    meta.write_text(
+        "videoid,page_dir,name\n000,p0,a red fox\n001,p0,a blue bird\n"
+        "broken,p0,missing file\n")
+
+    ds = WebVidDataset(str(meta), str(tmp_path / "videos"), video_length=4,
+                       frame_stride=3, resolution=(32, 32), seed=0)
+    s = ds[0]
+    assert s["video"].shape == (4, 32, 32, 3)
+    assert s["caption"] == "a red fox"
+    assert int(s["frame_stride"]) >= 1
+    # index 2 is a missing file -> retry loop lands on a decodable one
+    s2 = ds[2]
+    assert s2["video"].shape == (4, 32, 32, 3)
+
+
+@pytest.mark.slow
+def test_train_cli_smoke(tmp_path):
+    """3 steps of scripts/train.py on the tiny config + synthetic data."""
+    import yaml
+
+    from dynamicrafter_tpu.testing import TINY_MODEL_CONFIG
+
+    cfg = dict(TINY_MODEL_CONFIG)
+    cfg["data"] = {"params": {"batch_size": 2, "train": {"params": {
+        "video_length": 4, "resolution": [16, 16]}}}}
+    cfg["lightning"] = {"trainer": {"accumulate_grad_batches": 1,
+                                    "max_steps": 3,
+                                    "gradient_clip_val": 0.5},
+                        "callbacks": {"model_checkpoint":
+                                      {"params": {"every_n_train_steps": 2}}}}
+    cfg_path = tmp_path / "tiny_train.yaml"
+    cfg_path.write_text(yaml.dump(cfg))
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    res = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "train.py"),
+         "--config", str(cfg_path), "--name", "smoke",
+         "--logdir", str(tmp_path / "logs"), "--synthetic_data",
+         "--max_steps", "3", "--log_every", "1"],
+        capture_output=True, text=True, env=env, timeout=1200, cwd=repo)
+    assert res.returncode == 0, res.stderr[-3000:]
+    assert os.path.exists(tmp_path / "logs" / "smoke" / "metrics.csv")
+    ckdir = tmp_path / "logs" / "smoke" / "checkpoints"
+    assert any(os.scandir(ckdir)), "no checkpoint written"
