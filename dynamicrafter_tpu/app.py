@@ -1,0 +1,149 @@
+"""Serving layer: Image2Video backend + gradio UI.
+
+Behavioral parity targets:
+  * Image2Video backend        scripts/gradio/i2v_test.py:13-102
+  * interp/loop backend        scripts/gradio/i2v_test_application.py:13-126
+    (loop mode drops the last frame, :104-105)
+  * per-resolution UI defaults gradio_app.py:38-181
+
+The backend is framework-native and testable without gradio; `launch_app`
+builds the UI when gradio is importable.
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import numpy as np
+
+RESOLUTIONS = {
+    "256_256": dict(height=256, width=256, fs=3, fs_min=1, fs_max=6,
+                    config="configs/inference_256_v1.0.yaml",
+                    timestep_spacing="uniform", guidance_rescale=0.0),
+    "320_512": dict(height=320, width=512, fs=24, fs_min=15, fs_max=30,
+                    config="configs/inference_512_v1.0.yaml",
+                    timestep_spacing="uniform_trailing", guidance_rescale=0.7),
+    "576_1024": dict(height=576, width=1024, fs=10, fs_min=15, fs_max=30,
+                     config="configs/inference_1024_v1.0.yaml",
+                     timestep_spacing="uniform_trailing", guidance_rescale=0.7),
+}
+
+
+class Image2Video:
+    """Generation backend shared by the gradio UI and programmatic callers."""
+
+    def __init__(self, result_dir: str = "./gradio_results",
+                 resolution: str = "320_512",
+                 ckpt_path: Optional[str] = None,
+                 random_init: bool = False,
+                 mode: str = "i2v"):
+        import jax.numpy as jnp
+
+        from dynamicrafter_tpu.config import ModelConfig
+        from dynamicrafter_tpu.pipeline import DynamiCrafterPipeline
+
+        assert resolution in RESOLUTIONS, f"unknown resolution {resolution}"
+        assert mode in ("i2v", "interp", "loop")
+        self.spec = RESOLUTIONS[resolution]
+        self.mode = mode
+        self.result_dir = result_dir
+        os.makedirs(result_dir, exist_ok=True)
+
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        cfg_path = os.path.join(repo_root, self.spec["config"])
+        if ckpt_path and not random_init:
+            self.pipe = DynamiCrafterPipeline.from_checkpoint(
+                cfg_path, ckpt_path, dtype=jnp.bfloat16)
+        else:
+            self.pipe = DynamiCrafterPipeline(ModelConfig.from_yaml(cfg_path),
+                                              dtype=jnp.bfloat16)
+            h, w = self.spec["height"] // 8, self.spec["width"] // 8
+            self.pipe.init_random(latent_hw=(h, w))
+
+    def get_image(self, image: np.ndarray, prompt: str, steps: int = 50,
+                  cfg_scale: float = 7.5, eta: float = 1.0, fs: int = None,
+                  seed: int = 123, image2: Optional[np.ndarray] = None) -> str:
+        """image: (H, W, 3) uint8 or float [-1,1]; returns mp4 path."""
+        from dynamicrafter_tpu.utils.video import save_video
+
+        spec = self.spec
+        fs = fs or spec["fs"]
+        t = self.pipe.unet_config.temporal_length or 16
+
+        def prep(img):
+            if img.dtype == np.uint8:
+                img = img.astype(np.float32) / 255.0 * 2 - 1
+            return _resize_center_crop_f(img, (spec["height"], spec["width"]))
+
+        img = prep(image)
+        if self.mode in ("interp", "loop") and image2 is not None:
+            img2 = prep(image2)
+            half = t // 2
+            video = np.stack([img] * half + [img2] * (t - half))[None]
+        else:
+            video = np.stack([img] * t)[None]
+
+        out = self.pipe.sample(
+            [prompt], video, steps=steps, cfg_scale=cfg_scale, eta=eta,
+            timestep_spacing=spec["timestep_spacing"],
+            guidance_rescale=spec["guidance_rescale"], fs=[fs], seed=seed,
+            loop_or_interp=self.mode in ("interp", "loop"),
+        )
+        frames = out.videos[0, 0]
+        if self.mode == "loop":
+            frames = frames[:-1]  # i2v_test_application.py:104-105
+        name = f"{prompt[:40].replace(' ', '_') or 'sample'}_{int(time.time())}.mp4"
+        path = os.path.join(self.result_dir, name)
+        save_video(frames, path, fps=8)
+        return path
+
+
+def _resize_center_crop_f(img: np.ndarray, size) -> np.ndarray:
+    import cv2
+
+    th, tw = size
+    h, w, _ = img.shape
+    scale = max(th / h, tw / w)
+    nh, nw = int(round(h * scale)), int(round(w * scale))
+    img = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_LINEAR)
+    top, left = (nh - th) // 2, (nw - tw) // 2
+    return img[top:top + th, left:left + tw]
+
+
+def launch_app(resolution: str = "320_512", ckpt_path: Optional[str] = None,
+               random_init: bool = False, **launch_kwargs):
+    """Build + launch the gradio demo (gradio_app.py:38-181 equivalent)."""
+    try:
+        import gradio as gr
+    except ImportError as e:
+        raise ImportError(
+            "gradio is not installed in this environment; the Image2Video "
+            "backend remains usable programmatically") from e
+
+    backend = Image2Video(resolution=resolution, ckpt_path=ckpt_path,
+                          random_init=random_init)
+    spec = RESOLUTIONS[resolution]
+
+    with gr.Blocks() as demo:
+        gr.Markdown("## DynamiCrafter-TPU — image to video")
+        with gr.Row():
+            with gr.Column():
+                image = gr.Image(label="input image")
+                prompt = gr.Textbox(label="prompt")
+                steps = gr.Slider(1, 60, value=50, step=1, label="steps")
+                cfg = gr.Slider(1.0, 15.0, value=7.5, step=0.5, label="cfg")
+                eta = gr.Slider(0.0, 1.0, value=1.0, step=0.1, label="eta")
+                fs = gr.Slider(spec["fs_min"], spec["fs_max"], value=spec["fs"],
+                               step=1, label="motion (fs)")
+                seed = gr.Slider(0, 2 ** 31 - 1, value=123, step=1,
+                                 label="seed")
+                go = gr.Button("Generate")
+            with gr.Column():
+                video = gr.Video(label="result")
+        go.click(
+            lambda im, p, st, cf, et, f, sd: backend.get_image(
+                im, p, int(st), float(cf), float(et), int(f), int(sd)),
+            inputs=[image, prompt, steps, cfg, eta, fs, seed],
+            outputs=[video])
+    return demo.launch(**launch_kwargs)

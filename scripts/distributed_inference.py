@@ -1,0 +1,66 @@
+"""Multi-host batch inference: each process handles a slice of the prompts.
+
+Replaces the reference's NCCL DDP wrapper (scripts/evaluation/ddp_wrapper.py:
+8-47 + inference.py:350-356 prompt slicing): pure data parallelism with zero
+inter-host communication during sampling. On a multi-host TPU slice, launch
+one process per host:
+
+  python scripts/distributed_inference.py --coordinator <addr> \
+      --num_processes N --process_id i ... (remaining args as inference.py)
+
+Within each process, the local devices additionally form a (dp, sp) mesh for
+sharded sampling of each clip.
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from inference import get_parser, main as run_local  # noqa: E402
+
+
+def main():
+    parser = get_parser()
+    parser.add_argument("--coordinator", type=str, default=None,
+                        help="coordinator address host:port")
+    parser.add_argument("--num_processes", type=int, default=1)
+    parser.add_argument("--process_id", type=int, default=0)
+    args = parser.parse_args()
+
+    import jax
+
+    if args.coordinator and args.num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+
+    # slice the prompt list across processes (inference.py:350-356)
+    from dynamicrafter_tpu.utils import video as V
+
+    orig = V.load_prompt_dir
+
+    def sliced_load(*a, **k):
+        names, videos, prompts = orig(*a, **k)
+        n = len(prompts)
+        per = -(-n // args.num_processes)
+        lo = args.process_id * per
+        hi = min(n, lo + per)
+        return names[lo:hi], videos[lo:hi], prompts[lo:hi]
+
+    V.load_prompt_dir = sliced_load
+
+    sys.argv = [sys.argv[0]] + [
+        a for a in sys.argv[1:]
+        if not any(a.startswith(f"--{f}") for f in
+                   ("coordinator", "num_processes", "process_id"))
+    ]
+    run_local()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,97 @@
+"""SDS guidance pipeline + app backend + inference CLI smoke tests."""
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from dynamicrafter_tpu.config import ModelConfig
+from dynamicrafter_tpu.pipeline import DynamiCrafterPipeline
+from dynamicrafter_tpu.sds import SDSGuidancePipeline, SDSSettings
+from tiny_config import TINY_MODEL_CONFIG
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    cfg = ModelConfig(TINY_MODEL_CONFIG)
+    p = DynamiCrafterPipeline(cfg)
+    p.init_random(seed=0, latent_hw=(8, 8))
+    return p
+
+
+@pytest.mark.parametrize("weight_type", ["t", "ada", "uniform"])
+def test_sds_runs_and_updates_latents(pipe, weight_type):
+    sds = SDSGuidancePipeline(pipe, SDSSettings(
+        num_steps=4, log_every=2, lr=0.05, cfg_scale=2.0,
+        weight_type=weight_type, ddim_grid_steps=4,
+        timestep_spacing="uniform_trailing"))
+    vids = np.random.default_rng(0).uniform(
+        -1, 1, (1, 4, 16, 16, 3)).astype(np.float32)
+    out = sds(["a cat"], vids, seed=1, fs=[3])
+    assert out["latents"].shape == (1, 4, 8, 8, 4)
+    assert out["loss_curve"].shape == (4,)
+    assert np.all(np.isfinite(out["latents"]))
+    assert np.all(np.isfinite(out["videos"]))
+
+
+def test_inference_cli_smoke(tmp_path):
+    """scripts/inference.py end-to-end on the tiny config + prompt dir."""
+    import yaml
+    from PIL import Image
+
+    cfg_path = tmp_path / "tiny.yaml"
+    cfg_path.write_text(yaml.dump(TINY_MODEL_CONFIG))
+    pdir = tmp_path / "prompts"
+    pdir.mkdir()
+    Image.fromarray(
+        (np.random.default_rng(0).uniform(0, 255, (20, 20, 3))
+         ).astype(np.uint8)).save(pdir / "img1.png")
+    (pdir / "prompts.txt").write_text("a spinning top\n")
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    res = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "inference.py"),
+         "--config", str(cfg_path), "--prompt_dir", str(pdir),
+         "--savedir", str(tmp_path / "out"), "--random_init",
+         "--height", "16", "--width", "16", "--video_length", "4",
+         "--ddim_steps", "2", "--timestep_spacing", "uniform_trailing",
+         "--unconditional_guidance_scale", "2.0", "--text_input",
+         "--frame_stride", "3"],
+        capture_output=True, text=True, env=env, timeout=1200, cwd=repo)
+    assert res.returncode == 0, res.stderr[-3000:]
+    outs = list((tmp_path / "out").glob("*.mp4"))
+    assert len(outs) == 1
+
+
+def test_app_backend(tmp_path, monkeypatch):
+    """Image2Video backend with the tiny config (bypasses full-size configs)."""
+    import dynamicrafter_tpu.app as app
+
+    # route the backend at the tiny model
+    monkeypatch.setitem(
+        app.RESOLUTIONS, "tiny",
+        dict(height=16, width=16, fs=3, fs_min=1, fs_max=6,
+             config="tiny", timestep_spacing="uniform_trailing",
+             guidance_rescale=0.0))
+
+    class TinyBackend(app.Image2Video):
+        def __init__(self, result_dir):
+            from dynamicrafter_tpu.pipeline import DynamiCrafterPipeline
+
+            self.spec = app.RESOLUTIONS["tiny"]
+            self.mode = "i2v"
+            self.result_dir = str(result_dir)
+            os.makedirs(self.result_dir, exist_ok=True)
+            self.pipe = DynamiCrafterPipeline(ModelConfig(TINY_MODEL_CONFIG))
+            self.pipe.init_random(seed=0, latent_hw=(8, 8))
+
+    backend = TinyBackend(tmp_path / "results")
+    img = (np.random.default_rng(1).uniform(0, 255, (24, 30, 3))
+           ).astype(np.uint8)
+    path = backend.get_image(img, "a drifting cloud", steps=2,
+                             cfg_scale=2.0, eta=0.0, seed=3)
+    assert os.path.exists(path) and path.endswith(".mp4")
