@@ -250,6 +250,20 @@ class AutoencoderKL(nn.Module):
         return self.decode(z), moments
 
 
+class IdentityFirstStage(nn.Module):
+    """Pass-through first stage for pixel-space diffusion configs
+    (lvdm/models/autoencoder.py:202)."""
+
+    def encode_moments(self, x: jax.Array) -> jax.Array:
+        return jnp.concatenate([x, jnp.zeros_like(x)], axis=-1)
+
+    def decode(self, z: jax.Array) -> jax.Array:
+        return z
+
+    def __call__(self, x: jax.Array, noise=None):
+        return x, self.encode_moments(x)
+
+
 # ---------------------------------------------------------------------------
 # Tiled decode for high-res (576x1024 on one chip)
 # ---------------------------------------------------------------------------

@@ -203,6 +203,32 @@ def ddim_sample(
     return x
 
 
+def ddim_decode(
+    model_fn: Callable,
+    x_latent: jax.Array,
+    schedule: DiffusionSchedule,
+    table: DDIMTable,
+    settings: SamplerSettings,
+    t_start: int,
+) -> jax.Array:
+    """img2img: denoise from DDIM step t_start down to 0 (ddim.py:281-301).
+
+    Runs the same scan as ddim_sample but only over the first t_start
+    timesteps of the table (the reference truncates `timesteps[:t_start]`).
+    """
+    truncated = DDIMTable(
+        timesteps=table.timesteps[:t_start],
+        alphas=table.alphas[:t_start],
+        alphas_prev=table.alphas_prev[:t_start],
+        sqrt_one_minus_alphas=table.sqrt_one_minus_alphas[:t_start],
+        sigmas=table.sigmas[:t_start],
+        scale_arr=None if table.scale_arr is None else table.scale_arr[:t_start],
+        scale_arr_prev=None if table.scale_arr_prev is None
+        else table.scale_arr_prev[:t_start],
+    )
+    return ddim_sample(model_fn, x_latent, schedule, truncated, settings)
+
+
 def stochastic_encode(
     schedule: DiffusionSchedule,
     table: DDIMTable,

@@ -94,6 +94,44 @@ def save_video(frames: np.ndarray, path: str, fps: int = 8) -> None:
         writer.release()
 
 
+def save_video_grid(
+    videos: np.ndarray,                 # (N, T, H, W, 3) float [-1,1]
+    path: str,
+    fps: int = 8,
+    n_cols: Optional[int] = None,
+) -> None:
+    """Tile N clips into one grid mp4 (utils/save_video.py tensor_to_mp4
+    equivalent)."""
+    n, t, h, w, c = videos.shape
+    cols = n_cols or int(np.ceil(np.sqrt(n)))
+    rows = int(np.ceil(n / cols))
+    pad = rows * cols - n
+    if pad:
+        videos = np.concatenate(
+            [videos, -np.ones((pad, t, h, w, c), videos.dtype)], axis=0)
+    grid = videos.reshape(rows, cols, t, h, w, c)
+    grid = grid.transpose(2, 0, 3, 1, 4, 5).reshape(t, rows * h, cols * w, c)
+    save_video(grid, path, fps=fps)
+
+
+def download_checkpoint(resolution: str = "512",
+                        cache_dir: str = "./checkpoints") -> str:
+    """Fetch a released checkpoint from the HF hub
+    (scripts/gradio/i2v_test.py:94-102 equivalent). Requires network."""
+    try:
+        from huggingface_hub import hf_hub_download
+    except ImportError as e:
+        raise ImportError("huggingface_hub required to download weights") from e
+    repo = {
+        "256": "Doubiiu/DynamiCrafter",
+        "512": "Doubiiu/DynamiCrafter_512",
+        "1024": "Doubiiu/DynamiCrafter_1024",
+        "512_interp": "Doubiiu/DynamiCrafter_512_Interp",
+    }[resolution]
+    return hf_hub_download(repo_id=repo, filename="model.ckpt",
+                           cache_dir=cache_dir)
+
+
 def save_results_separate(
     videos: np.ndarray,                # (B, n_samples, T, H, W, 3) [-1,1]
     filenames: Sequence[str],

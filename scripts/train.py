@@ -44,6 +44,8 @@ def get_parser():
     p.add_argument("--log_every", type=int, default=50)
     p.add_argument("--sample_every", type=int, default=0,
                    help="0 disables sample logging")
+    p.add_argument("--profile_steps", type=int, default=0,
+                   help="capture a jax.profiler trace for steps [10, 10+N)")
     return p
 
 
@@ -194,11 +196,19 @@ def main():
 
     rng = jax.random.PRNGKey(args.seed)
     t_last = time.time()
+    profiling = False
     with use_mesh(mesh):
         for batch in loader:
             step = int(state.step)
             if step >= max_steps:
                 break
+            if args.profile_steps and step == 10 and not profiling:
+                jax.profiler.start_trace(os.path.join(workdir, "profile"))
+                profiling = True
+            if profiling and step >= 10 + args.profile_steps:
+                jax.profiler.stop_trace()
+                profiling = False
+                log.info("profiler trace written")
             jbatch = {"video": jnp.asarray(batch["video"]),
                       "tokens": jnp.asarray(batch["tokens"]),
                       "fs": jnp.asarray(batch["fs"])}

@@ -1,0 +1,69 @@
+"""Smaller component tests: img2img decode, video grid writer,
+IdentityFirstStage, tokenizer structure."""
+import os
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from dynamicrafter_tpu import schedule as S
+from dynamicrafter_tpu.models.vae import IdentityFirstStage
+from dynamicrafter_tpu.sampling.ddim import (
+    SamplerSettings, ddim_decode, stochastic_encode,
+)
+from dynamicrafter_tpu.utils.tokenizer import HashTokenizer
+from dynamicrafter_tpu.utils.video import save_video_grid, to_uint8
+
+
+def test_stochastic_encode_and_ddim_decode():
+    sched = S.build_schedule(timesteps=1000, linear_start=0.00085,
+                             linear_end=0.012)
+    table = S.build_ddim_table(sched, num_steps=4, discretize="uniform_trailing")
+    x0 = jnp.ones((1, 2, 4, 4, 4)) * 0.3
+    noise = jnp.zeros_like(x0)
+    t_idx = jnp.asarray([2])
+    z = stochastic_encode(sched, table, x0, t_idx, noise)
+    # zero-noise encode = sqrt(alpha)*x0
+    expected = float(jnp.sqrt(table.alphas[2])) * 0.3
+    np.testing.assert_allclose(np.asarray(z)[0, 0, 0, 0, 0], expected,
+                               rtol=1e-5)
+
+    # identity model output (eps = 0) should walk z back toward x0-scale
+    settings = SamplerSettings(steps=4, parameterization="eps", cfg_scale=1.0)
+    out = ddim_decode(lambda x, t: jnp.zeros_like(x), z, sched, table,
+                      settings, t_start=3)
+    assert out.shape == z.shape
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_identity_first_stage():
+    m = IdentityFirstStage()
+    x = jnp.ones((1, 4, 4, 3))
+    moments = m.encode_moments(x)
+    assert moments.shape == (1, 4, 4, 6)
+    np.testing.assert_array_equal(np.asarray(m.decode(x)), np.asarray(x))
+
+
+def test_save_video_grid(tmp_path):
+    vids = np.random.default_rng(0).uniform(-1, 1, (3, 4, 16, 16, 3)) \
+        .astype(np.float32)
+    path = str(tmp_path / "grid.mp4")
+    save_video_grid(vids, path, fps=4)
+    assert os.path.exists(path) and os.path.getsize(path) > 0
+
+
+def test_to_uint8_range():
+    x = np.array([-1.0, 0.0, 1.0], np.float32).reshape(1, 1, 3)
+    out = to_uint8(x)
+    assert out.tolist() == [[[0, 128, 255]]]
+
+
+def test_hash_tokenizer_structure():
+    tok = HashTokenizer()
+    out = tok(["hello world", ""])
+    assert out.shape == (2, 77)
+    assert out[0, 0] == tok.sot
+    assert out[0, 3] == tok.eot  # sot + 2 words + eot
+    assert out[1, 1] == tok.eot
+    # deterministic
+    np.testing.assert_array_equal(out, tok(["hello world", ""]))
