@@ -62,14 +62,17 @@ def xla_attention(
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
-    q32 = q.astype(jnp.float32)
-    k32 = k.astype(jnp.float32)
-    sim = jnp.einsum("...qhd,...khd->...hqk", q32, k32) * scale
+    # bf16 inputs ride the MXU natively; fp32 accumulation keeps the logits
+    # exact (strictly tighter than the reference's fp16-autocast einsum,
+    # attention.py:103 under amp).
+    sim = jnp.einsum("...qhd,...khd->...hqk", q, k,
+                     preferred_element_type=jnp.float32) * scale
     if mask is not None:
         neg = jnp.finfo(sim.dtype).max
         sim = jnp.where(mask, sim, -neg)
     attn = jax.nn.softmax(sim, axis=-1)
-    out = jnp.einsum("...hqk,...khd->...qhd", attn.astype(v.dtype), v)
+    out = jnp.einsum("...hqk,...khd->...qhd", attn.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
     return out.astype(q.dtype)
 
 

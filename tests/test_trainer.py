@@ -88,11 +88,13 @@ def test_accumulation_and_clipping(pipe):
     state, tx = create_train_state(trainable, cfg)
     step = jax.jit(make_train_step(pipe, cfg, tx))
     batch = _batch(pipe)
+    def total_diff(a, b):
+        d = jax.tree_util.tree_map(
+            lambda x, y: float(jnp.sum(jnp.abs(x - y))), a, b)
+        return sum(jax.tree_util.tree_leaves(d))
+
     s1, _ = step(state, frozen, batch, jax.random.PRNGKey(0))
     # first micro-step of a 2-step accumulation: params unchanged
-    b0 = jax.tree_util.tree_leaves(state.params)[0]
-    b1 = jax.tree_util.tree_leaves(s1.params)[0]
-    np.testing.assert_array_equal(np.asarray(b0), np.asarray(b1))
+    assert total_diff(state.params, s1.params) == 0.0
     s2, _ = step(s1, frozen, batch, jax.random.PRNGKey(1))
-    b2 = jax.tree_util.tree_leaves(s2.params)[0]
-    assert not np.allclose(np.asarray(b1), np.asarray(b2))
+    assert total_diff(s1.params, s2.params) > 0.0
