@@ -257,6 +257,7 @@ class DynamiCrafterPipeline:
         cfg_img: Optional[float] = None,
         loop_or_interp: bool = False,
         fs: Optional[Sequence[int]] = None,
+        negative_prompt: str = "",
     ) -> CFGConditioning:
         b, t = videos.shape[0], videos.shape[1]
         img = videos[:, 0]
@@ -276,7 +277,7 @@ class DynamiCrafterPipeline:
         passes_img = [img_ctx]
         if cfg_scale != 1.0:
             if self.config.uncond_type == "empty_seq":
-                uc_text = self.embed_text([""] * b)
+                uc_text = self.embed_text([negative_prompt] * b)
             else:
                 uc_text = jnp.zeros_like(text_ctx)
             uc_img = self.embed_image_ctx(jnp.zeros_like(img))
@@ -349,6 +350,7 @@ class DynamiCrafterPipeline:
         seed: int = 123,
         x_T: Optional[np.ndarray] = None,
         decode: bool = True,
+        negative_prompt: str = "",
     ):
         """Image-guided synthesis (reference inference.py:216-313)."""
         assert self.params is not None, "load or init params first"
@@ -366,6 +368,7 @@ class DynamiCrafterPipeline:
                 prompts, videos, enc_rng, cfg_scale=cfg_scale,
                 multiple_cond_cfg=multiple_cond_cfg, cfg_img=cfg_img,
                 loop_or_interp=loop_or_interp, fs=fs,
+                negative_prompt=negative_prompt,
             )
             settings = SamplerSettings(
                 steps=steps, discretize=timestep_spacing, eta=eta,

@@ -56,6 +56,8 @@ class MetricLogger:
         self._t0 = time.time()
 
     def log(self, step: int, metrics: Dict[str, float]) -> None:
+        metrics = dict(metrics)
+        metrics.update(self.device_memory_stats())
         row = {"step": step, "wall_s": round(time.time() - self._t0, 2),
                **{k: float(v) for k, v in metrics.items()}}
         if self._csv is None:
@@ -73,6 +75,22 @@ class MetricLogger:
             else:
                 for k, v in metrics.items():
                     self._tb.add_scalar(k, float(v), step)
+
+    @staticmethod
+    def device_memory_stats() -> Dict[str, float]:
+        """Peak/live device memory (the reference CUDACallback equivalent,
+        main/callbacks.py:104-133)."""
+        try:
+            import jax
+            stats = jax.local_devices()[0].memory_stats() or {}
+            out = {}
+            if "bytes_in_use" in stats:
+                out["mem_in_use_gb"] = stats["bytes_in_use"] / 1e9
+            if "peak_bytes_in_use" in stats:
+                out["mem_peak_gb"] = stats["peak_bytes_in_use"] / 1e9
+            return out
+        except Exception:
+            return {}
 
     def close(self):
         self._csv_file.close()

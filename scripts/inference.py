@@ -37,6 +37,11 @@ def get_parser():
     p.add_argument("--seed", type=int, default=123)
     p.add_argument("--video_length", type=int, default=16)
     p.add_argument("--negative_prompt", action="store_true")
+    p.add_argument("--negative_prompt_text", type=str, default=
+                   "worst quality, blurry, distorted, low resolution",
+                   help="uncond text used when --negative_prompt is set "
+                        "(functional here; declared-but-unused in the "
+                        "reference, inference.py:399)")
     p.add_argument("--text_input", action="store_true")
     p.add_argument("--multiple_cond_cfg", action="store_true")
     p.add_argument("--cfg_img", type=float, default=None)
@@ -115,6 +120,8 @@ def main():
             loop_or_interp=args.loop or args.interp,
             n_samples=args.n_samples,
             seed=args.seed,
+            negative_prompt=(args.negative_prompt_text
+                             if args.negative_prompt else ""),
         )
         vids = out.videos
         if args.loop:
