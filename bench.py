@@ -41,7 +41,7 @@ def main():
         CFGConditioning, SamplerSettings, ddim_sample, make_cfg_denoiser,
     )
     from dynamicrafter_tpu import schedule as sched_lib
-    from dynamicrafter_tpu.utils.timing import time_chained, time_once
+    from dynamicrafter_tpu.utils.timing import time_once
 
     on_tpu = jax.default_backend() == "tpu"
     dtype = jnp.bfloat16
@@ -100,25 +100,23 @@ def main():
         return unet.apply({"params": p}, xin, tsin, context_text=context_text,
                           context_img=context_img, fs=fs)
 
-    model_fn = make_cfg_denoiser(unet_apply, uparams, cond, settings)
-
-    def full_scan(x0):
+    def full_scan(params, x0):
+        model_fn = make_cfg_denoiser(unet_apply, params, cond, settings)
         return ddim_sample(model_fn, x0.astype(jnp.float32), schedule, table,
                            settings).astype(dtype)
 
-    scan_seconds = time_once(full_scan, x, repeats=2)
+    scan_seconds = time_once(full_scan, uparams, x, repeats=2)
 
     decoder = Decoder(vae_cfg, dtype=dtype)
     z1 = jnp.zeros((1, h, w, zc), dtype)
     dparams = _zero_params(decoder, z1)
 
-    def decode_frame(z):
-        out = decoder.apply({"params": dparams}, z)
-        # chainable: reduce back to latent shape
-        f = out.shape[1] // z.shape[1]
-        return out[:, ::f, ::f, :1] * jnp.zeros_like(z[..., :1]) + z
+    def decode_16f(params, z):
+        return decoder.apply({"params": params}, z)
 
-    decode_seconds = time_chained(decode_frame, z1, iters=4) * t_len
+    decode_seconds = time_once(
+        decode_16f, dparams,
+        jnp.zeros((t_len, h, w, zc), dtype), repeats=2)
 
     clip_seconds = scan_seconds + decode_seconds
     clips_per_min = 60.0 / clip_seconds
