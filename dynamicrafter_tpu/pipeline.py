@@ -236,14 +236,27 @@ class DynamiCrafterPipeline:
         t = self.resampler.config.video_length or 1
         return ctx.reshape(b, t, -1, ctx.shape[-1])
 
-    def encode_video(self, video: jax.Array, rng: jax.Array) -> jax.Array:
-        """video: (B, T, H, W, 3) in [-1,1] -> latents (B, T, h, w, 4)."""
+    def encode_video(self, video: jax.Array, rng: jax.Array,
+                     perframe: Optional[bool] = None) -> jax.Array:
+        """video: (B, T, H, W, 3) in [-1,1] -> latents (B, T, h, w, 4).
+
+        perframe mirrors the reference perframe_ae encode loop
+        (ddpm3d.py:629-643) as a lax.map to bound peak memory at 576x1024.
+        """
         b, t, h, w, _ = video.shape
         flat = video.reshape(b * t, h, w, 3)
         f = 2 ** (len(self.vae_config.ch_mult) - 1)
         zc = self.vae_config.z_channels
         noise = jax.random.normal(rng, (b * t, h // f, w // f, zc))
-        z = self._encode_fn(self.params["vae"], flat, noise)
+        if perframe is None:
+            perframe = self.config.perframe_ae
+        if perframe:
+            z = jax.lax.map(
+                lambda args: self._encode_fn(self.params["vae"],
+                                             args[0][None], args[1][None])[0],
+                (flat, noise))
+        else:
+            z = self._encode_fn(self.params["vae"], flat, noise)
         return z.reshape(b, t, *z.shape[1:])
 
     def build_conditioning(
