@@ -26,8 +26,10 @@ def _zero_params(module, *args, **kwargs):
     import jax.numpy as jnp
 
     shapes = jax.eval_shape(module.init, jax.random.PRNGKey(0), *args, **kwargs)
+    # bf16 weight storage (norms too — zeros anyway): matches the deployed
+    # inference config and halves per-step weight bandwidth
     return jax.tree_util.tree_map(
-        lambda s: jnp.zeros(s.shape, s.dtype), shapes)["params"]
+        lambda s: jnp.zeros(s.shape, jnp.bfloat16), shapes)["params"]
 
 
 def main():

@@ -94,6 +94,10 @@ class DynamiCrafterPipeline:
             base_scale=config.base_scale,
             turning_step=config.turning_step,
         )
+        if params is not None and dtype != jnp.float32:
+            # bf16 weight storage halves HBM and per-step weight bandwidth;
+            # norm scales/biases stay fp32 (fp32-island semantics)
+            params = W.cast_params(params, dtype)
         self.params = params
 
     # ------------------------------------------------------------------
@@ -156,6 +160,8 @@ class DynamiCrafterPipeline:
                 keys[4],
                 jnp.zeros((1, n_patches, self.resampler.config.embedding_dim)),
             )["params"]
+        if self.dtype != jnp.float32:
+            params = W.cast_params(params, self.dtype)
         self.params = params
         return params
 

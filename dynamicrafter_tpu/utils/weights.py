@@ -444,6 +444,30 @@ def convert_resampler(sd: Mapping[str, np.ndarray]) -> Dict:
     return tree
 
 
+# names of modules whose params stay fp32 (the fp32-island norms)
+_NORM_MODULE_MARKERS = ("norm", "ln_")
+
+
+def cast_params(tree, dtype, keep_norms_fp32: bool = True):
+    """Cast a param pytree for storage (bf16 halves HBM + per-step weight
+    bandwidth). Norm scales/biases stay fp32 to preserve the fp32-island
+    semantics (lvdm/basics.py:76-87)."""
+    import jax
+
+    def walk(node, in_norm):
+        if isinstance(node, dict):
+            return {k: walk(v, in_norm or any(m in k.lower()
+                                              for m in _NORM_MODULE_MARKERS))
+                    for k, v in node.items()}
+        if keep_norms_fp32 and in_norm:
+            return node
+        if hasattr(node, "dtype") and node.dtype in (np.float32, np.float64):
+            return node.astype(dtype)
+        return node
+
+    return walk(tree, False)
+
+
 def split_reference_checkpoint(sd: Mapping[str, np.ndarray]) -> Dict[str, Dict[str, np.ndarray]]:
     """Split a full LatentVisualDiffusion state dict into component dicts."""
     groups = {
