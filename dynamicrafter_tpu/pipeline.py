@@ -370,6 +370,7 @@ class DynamiCrafterPipeline:
         x_T: Optional[np.ndarray] = None,
         decode: bool = True,
         negative_prompt: str = "",
+        sequential_cfg: bool = False,
     ):
         """Image-guided synthesis (reference inference.py:216-313)."""
         assert self.params is not None, "load or init params first"
@@ -394,6 +395,7 @@ class DynamiCrafterPipeline:
                 cfg_scale=cfg_scale, cfg_img=cfg_img,
                 guidance_rescale=guidance_rescale,
                 parameterization=self.config.parameterization,
+                sequential_cfg=sequential_cfg,
             )
             run = self._sampler(settings)
             variants = []

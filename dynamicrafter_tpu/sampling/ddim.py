@@ -43,6 +43,8 @@ class SamplerSettings:
     temperature: float = 1.0
     parameterization: str = "v"
     clean_cond: bool = False               # mask blending uses clean x0
+    sequential_cfg: bool = False           # run CFG passes serially (memory
+                                           # fallback for 1024-res single-chip)
 
 
 class CFGConditioning(NamedTuple):
@@ -83,21 +85,39 @@ def make_cfg_denoiser(
     def model_fn(x: jax.Array, t: jax.Array) -> jax.Array:
         b = x.shape[0]
         xc = x
-        if cond.concat is not None:
-            # hybrid conditioning: per-pass channel concat (ddpm3d.py:1254-1258)
-            xs = jnp.broadcast_to(xc[None], (p, *xc.shape))
-            xs = jnp.concatenate([xs, cond.concat], axis=-1)
+        if settings.sequential_cfg and p > 1:
+            # serial passes: peak activation memory of ONE pass (the
+            # reference's layout, ddim.py:220-226) — for single-chip 1024
+            outs = []
+            for i in range(p):
+                xi = xc if cond.concat is None else jnp.concatenate(
+                    [xc, cond.concat[i]], axis=-1)
+                outs.append(unet_apply(
+                    params, xi, t,
+                    context_text=cond.context_text[i],
+                    context_img=(None if cond.context_img is None
+                                 else cond.context_img[i]),
+                    fs=cond.fs,
+                ))
+            out = jnp.stack(outs)
         else:
-            xs = jnp.broadcast_to(xc[None], (p, *xc.shape))
-        flat = lambda a: a.reshape(p * b, *a.shape[2:])
-        ctx_img = None if cond.context_img is None else flat(cond.context_img)
-        fs = None if cond.fs is None else jnp.tile(cond.fs, p)
-        out = unet_apply(
-            params, flat(xs), jnp.tile(t, p),
-            context_text=flat(cond.context_text),
-            context_img=ctx_img, fs=fs,
-        )
-        out = out.reshape(p, b, *out.shape[1:])
+            if cond.concat is not None:
+                # hybrid conditioning: per-pass channel concat
+                # (ddpm3d.py:1254-1258)
+                xs = jnp.broadcast_to(xc[None], (p, *xc.shape))
+                xs = jnp.concatenate([xs, cond.concat], axis=-1)
+            else:
+                xs = jnp.broadcast_to(xc[None], (p, *xc.shape))
+            flat = lambda a: a.reshape(p * b, *a.shape[2:])
+            ctx_img = (None if cond.context_img is None
+                       else flat(cond.context_img))
+            fs = None if cond.fs is None else jnp.tile(cond.fs, p)
+            out = unet_apply(
+                params, flat(xs), jnp.tile(t, p),
+                context_text=flat(cond.context_text),
+                context_img=ctx_img, fs=fs,
+            )
+            out = out.reshape(p, b, *out.shape[1:])
         if p == 1:
             return out[0]
         if p == 2:

@@ -60,6 +60,9 @@ def get_parser():
     p.add_argument("--sp", type=int, default=-1, help="sequence mesh axis")
     p.add_argument("--vocab_path", type=str, default=None,
                    help="path to bpe_simple_vocab_16e6.txt.gz")
+    p.add_argument("--sequential_cfg", action="store_true",
+                   help="run CFG passes serially (lower peak memory; "
+                        "for 576x1024 on a single chip)")
     return p
 
 
@@ -122,6 +125,7 @@ def main():
             seed=args.seed,
             negative_prompt=(args.negative_prompt_text
                              if args.negative_prompt else ""),
+            sequential_cfg=args.sequential_cfg or args.width >= 1024,
         )
         vids = out.videos
         if args.loop:
