@@ -102,12 +102,24 @@ def main():
         return unet.apply({"params": p}, xin, tsin, context_text=context_text,
                           context_img=context_img, fs=fs)
 
-    def full_scan(params, x0):
-        model_fn = make_cfg_denoiser(unet_apply, params, cond, settings)
-        return ddim_sample(model_fn, x0.astype(jnp.float32), schedule, table,
-                           settings).astype(dtype)
+    # Serving configuration: weights baked as compile-time constants — XLA
+    # pre-formats weight layouts (~9% faster steps than arg-passed weights).
+    # Set BENCH_NO_BAKE=1 to measure the arg-passed variant instead.
+    bake = os.environ.get("BENCH_NO_BAKE", "0") != "1"
+    if bake:
+        def full_scan(x0):
+            model_fn = make_cfg_denoiser(unet_apply, uparams, cond, settings)
+            return ddim_sample(model_fn, x0.astype(jnp.float32), schedule,
+                               table, settings).astype(dtype)
 
-    scan_seconds = time_once(full_scan, uparams, x, repeats=2)
+        scan_seconds = time_once(full_scan, x, repeats=2)
+    else:
+        def full_scan(params, x0):
+            model_fn = make_cfg_denoiser(unet_apply, params, cond, settings)
+            return ddim_sample(model_fn, x0.astype(jnp.float32), schedule,
+                               table, settings).astype(dtype)
+
+        scan_seconds = time_once(full_scan, uparams, x, repeats=2)
 
     decoder = Decoder(vae_cfg, dtype=dtype)
     z1 = jnp.zeros((1, h, w, zc), dtype)
@@ -134,6 +146,7 @@ def main():
             "unet_step_ms": round(scan_seconds / steps * 1000, 1),
             "vae_decode_16f_s": round(decode_seconds, 3),
             "e2e_clip_s": round(clip_seconds, 2),
+            "weights_baked": bake,
             "backend": jax.default_backend(),
         },
     }))
