@@ -16,7 +16,7 @@ Replaces main/trainer.py + the Lightning training_step stack
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional
+from typing import Any, Optional
 
 import flax.struct
 import jax

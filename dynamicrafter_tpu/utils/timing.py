@@ -13,7 +13,6 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def time_chained(step_fn: Callable, x0, iters: int = 10, repeats: int = 2) -> float:

@@ -19,7 +19,6 @@ No torch import required to convert: accepts any mapping of str -> numpy.
 """
 from __future__ import annotations
 
-import re
 from typing import Dict, Mapping
 
 import numpy as np
