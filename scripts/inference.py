@@ -63,6 +63,8 @@ def get_parser():
     p.add_argument("--sequential_cfg", action="store_true",
                    help="run CFG passes serially (lower peak memory; "
                         "for 576x1024 on a single chip)")
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="capture a jax.profiler trace of the first batch")
     return p
 
 
@@ -106,7 +108,11 @@ def main():
     os.makedirs(args.savedir, exist_ok=True)
     start = time.time()
     n = len(prompts)
+    profiling = False
     for i0 in range(0, n, args.bs):
+        if args.profile_dir and i0 == 0:
+            jax.profiler.start_trace(args.profile_dir)
+            profiling = True
         sl = slice(i0, min(i0 + args.bs, n))
         batch_videos = videos[sl]
         out = pipe.sample(
@@ -132,6 +138,10 @@ def main():
             vids = vids[:, :, :-1]  # drop last frame (i2v_test_application.py:104-105)
         save_results_separate(vids, names[sl.start:sl.stop], args.savedir,
                               fps=args.savefps)
+        if profiling:
+            jax.profiler.stop_trace()
+            profiling = False
+            print(f"profiler trace -> {args.profile_dir}")
         print(f"[{sl.stop}/{n}] elapsed {time.time() - start:.1f}s")
     print(f"done in {time.time() - start:.1f}s -> {args.savedir}")
 
