@@ -181,6 +181,17 @@ def make_train_step(pipe, cfg: TrainConfig, tx: optax.GradientTransformation):
         return loss, {"loss": loss, "loss_simple": loss,
                       "loss_vlb": loss_vlb}
 
+    def eval_step(state: TrainState, frozen, batch, rng):
+        """Validation losses with and without EMA weights
+        (reference validation_step, ddpm3d.py:398-405)."""
+        _, m = loss_fn(state.params, frozen, batch, rng)
+        out = {"val/loss": m["loss"], "val/loss_simple": m["loss_simple"],
+               "val/loss_vlb": m["loss_vlb"]}
+        if state.ema_params is not None:
+            _, m_ema = loss_fn(state.ema_params, frozen, batch, rng)
+            out["val/loss_ema"] = m_ema["loss"]
+        return out
+
     def train_step(state: TrainState, frozen, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -195,4 +206,5 @@ def make_train_step(pipe, cfg: TrainConfig, tx: optax.GradientTransformation):
         return state.replace(step=state.step + 1, params=new_params,
                              opt_state=new_opt, ema_params=new_ema), metrics
 
+    train_step.eval_step = eval_step  # validation companion
     return train_step

@@ -60,6 +60,11 @@ def test_train_step_updates_params(pipe):
     assert sum(jax.tree_util.tree_leaves(ema_diff)) > 0
     state2, m2 = step(state1, frozen, batch, rng)
     assert int(state2.step) == 2
+    # validation losses with and without EMA (reference ddpm3d.py:398-405)
+    raw_step = make_train_step(pipe, cfg, tx)
+    vals = jax.jit(raw_step.eval_step)(state2, frozen, batch, rng)
+    assert np.isfinite(float(vals["val/loss"]))
+    assert "val/loss_ema" in vals
 
 
 def test_train_step_multidevice_dp(pipe):
