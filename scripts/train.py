@@ -46,6 +46,8 @@ def get_parser():
                    help="0 disables sample logging")
     p.add_argument("--profile_steps", type=int, default=0,
                    help="capture a jax.profiler trace for steps [10, 10+N)")
+    p.add_argument("--val_every", type=int, default=0,
+                   help="validation loss (with/without EMA) every N steps")
     return p
 
 
@@ -146,7 +148,9 @@ def main():
     frozen = {k: v for k, v in pipe.params.items() if k not in trainable}
 
     state, tx = create_train_state(trainable, tcfg)
-    step_fn = jax.jit(make_train_step(pipe, tcfg, tx), donate_argnums=(0,))
+    raw_step = make_train_step(pipe, tcfg, tx)
+    step_fn = jax.jit(raw_step, donate_argnums=(0,))
+    eval_fn = jax.jit(raw_step.eval_step)
 
     ckpt_cfg = lightning.get("callbacks", {}).get("model_checkpoint", {}) \
         .get("params", {})
@@ -214,6 +218,11 @@ def main():
                       "fs": jnp.asarray(batch["fs"])}
             state, m = step_fn(state, frozen, jbatch, rng)
             step = int(state.step)
+            if args.val_every and step % args.val_every == 0:
+                vals = eval_fn(state, frozen, jbatch, rng)
+                metrics_log.log(step, {k: float(v) for k, v in vals.items()})
+                log.info(f"step {step} val: " + " ".join(
+                    f"{k}={float(v):.4g}" for k, v in vals.items()))
             if step % args.log_every == 0:
                 vals = {k: float(v) for k, v in m.items()}
                 vals["steps_per_s"] = args.log_every / (time.time() - t_last)
