@@ -42,6 +42,7 @@ class TrainConfig:
     interp_mode: bool = False
     loss_type: str = "l2"
     parameterization: str = "v"
+    noise_strength: float = 0.0      # offset noise (ddpm3d.py:740-747)
     remat: bool = True               # rematerialize UNet blocks (grad ckpt)
 
 
@@ -150,6 +151,12 @@ def make_train_step(pipe, cfg: TrainConfig, tx: optax.GradientTransformation):
             from dynamicrafter_tpu.schedule import extract_into_tensor
             z = z * extract_into_tensor(schedule.scale_arr, t, z.ndim)
         noise = jax.random.normal(r_noise, z.shape, z.dtype)
+        if cfg.noise_strength > 0:
+            # per-(batch, frame, channel) offset noise (ddpm3d.py:741-744)
+            r_noise2 = jax.random.fold_in(r_noise, 1)
+            offset = jax.random.normal(
+                r_noise2, z.shape[:2] + (1, 1, z.shape[-1]), z.dtype)
+            noise = noise + cfg.noise_strength * offset
         x_noisy = schedule.q_sample(z, t, noise)
 
         if cfg.parameterization == "v":

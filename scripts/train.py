@@ -138,6 +138,7 @@ def main():
         interp_mode=model_cfg.interp_mode,
         parameterization=model_cfg.parameterization,
         loss_type=model_cfg.loss_type,
+        noise_strength=model_cfg.params.get("noise_strength", 0.0),
         use_ema=model_cfg.params.get("use_ema", False),
         remat=model_cfg.unet.get("use_checkpoint", True),
     )
