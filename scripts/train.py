@@ -238,7 +238,10 @@ def main():
                 want_ckpt["now"] = False
                 log.info(f"checkpoint at step {step}")
             if sample_logger is not None:
-                pipe.params = {**frozen, **{k: state.params[k]
+                # sample with EMA weights when available (reference
+                # ema_scope, ddpm3d.py:188-201)
+                eval_params = state.ema_params or state.params
+                pipe.params = {**frozen, **{k: eval_params[k]
                                             for k in trainable}}
                 sample_logger.maybe_log(step, batch)
     mngr.save(int(state.step), state, force=True)
