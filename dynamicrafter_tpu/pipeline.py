@@ -350,20 +350,20 @@ class DynamiCrafterPipeline:
         if self.bake_params:
             baked = self.params["unet"]
 
-            @jax.jit
-            def run(unet_params, x_T, cond, rng):
+            @functools.partial(jax.jit, static_argnums=())
+            def run(unet_params, x_T, cond, rng, mask=None, x0=None):
                 del unet_params  # baked as constants
                 model_fn = make_cfg_denoiser(self._unet_apply, baked, cond,
                                              settings)
                 return ddim_sample(model_fn, x_T, self.schedule, table,
-                                   settings, rng=rng)
+                                   settings, rng=rng, mask=mask, x0=x0)
         else:
             @jax.jit
-            def run(unet_params, x_T, cond, rng):
+            def run(unet_params, x_T, cond, rng, mask=None, x0=None):
                 model_fn = make_cfg_denoiser(self._unet_apply, unet_params,
                                              cond, settings)
                 return ddim_sample(model_fn, x_T, self.schedule, table,
-                                   settings, rng=rng)
+                                   settings, rng=rng, mask=mask, x0=x0)
 
         self._sampler_cache[settings] = run
         return run
@@ -388,6 +388,8 @@ class DynamiCrafterPipeline:
         decode: bool = True,
         negative_prompt: str = "",
         sequential_cfg: bool = False,
+        mask: Optional[np.ndarray] = None,   # (B,T,h,w,c) 1=keep x0 latent
+        x0_latents: Optional[np.ndarray] = None,
     ):
         """Image-guided synthesis (reference inference.py:216-313)."""
         assert self.params is not None, "load or init params first"
@@ -423,7 +425,9 @@ class DynamiCrafterPipeline:
                 else:
                     xt = jax.random.normal(sub, lat_shape, jnp.float32)
                 rng, noise_rng = jax.random.split(rng)
-                z = run(self.params["unet"], xt, cond, noise_rng)
+                z = run(self.params["unet"], xt, cond, noise_rng,
+                        None if mask is None else jnp.asarray(mask),
+                        None if x0_latents is None else jnp.asarray(x0_latents))
                 variants.append(z)
             z_all = jnp.stack(variants, axis=1)  # (B, n, T, h, w, c)
             if not decode:

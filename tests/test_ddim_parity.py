@@ -230,3 +230,62 @@ def test_ddim_multicond_parity(monkeypatch):
     out = np.transpose(np.asarray(out), (0, 4, 1, 2, 3))
     np.testing.assert_allclose(out, out_ref, atol=5e-3, rtol=0)
     assert np.median(np.abs(out - out_ref)) < 5e-4
+
+
+@requires_reference
+def test_ddim_mask_blend_clean_cond_parity(monkeypatch):
+    """Inpaint-style mask/x0 latent blending (ddim.py:173-180), clean_cond
+    variant (deterministic: blends the clean x0, no in-loop q_sample RNG)."""
+    from lvdm.models.samplers.ddim import DDIMSampler
+
+    _patch_register_buffer(DDIMSampler, monkeypatch)
+    cfg_kw, unet, sched, params, jax_unet = _build(2, "eps", False, False)
+    b, t, h, w = 1, cfg_kw["temporal_length"], 8, 8
+    ctx_dim = cfg_kw["context_dim"]
+    steps, cfg_scale = 4, 2.0
+
+    rng = np.random.default_rng(11)
+    x_T = rng.standard_normal((b, 4, t, h, w)).astype(np.float32)
+    ctx_c, ctx_u, concat = _make_conds(rng, b, t, ctx_dim, (b, 4, t, h, w))
+    fs = np.array([3] * b, dtype=np.int64)
+    x0 = rng.standard_normal((b, 4, t, h, w)).astype(np.float32)
+    # keep the first frame's latent fixed, generate the rest
+    mask = np.zeros((b, 4, t, h, w), np.float32)
+    mask[:, :, 0] = 1.0
+
+    fake = FakeLDM(unet, sched, "eps", False)
+    sampler = DDIMSampler(fake)
+    cond = {"c_crossattn": [torch.tensor(ctx_c)], "c_concat": [torch.tensor(concat)]}
+    uc = {"c_crossattn": [torch.tensor(ctx_u)], "c_concat": [torch.tensor(concat)]}
+
+    with torch.no_grad():
+        samples, _ = sampler.sample(
+            S=steps, batch_size=b, shape=(4, t, h, w),
+            conditioning=cond, x_T=torch.tensor(x_T), eta=0.0, verbose=False,
+            unconditional_guidance_scale=cfg_scale,
+            unconditional_conditioning=uc,
+            mask=torch.tensor(mask), x0=torch.tensor(x0),
+            fs=torch.tensor(fs), timestep_spacing="uniform",
+            clean_cond=True, schedule_verbose=False,
+        )
+    out_ref = samples.numpy()
+
+    table = S.build_ddim_table(sched, num_steps=steps, discretize="uniform",
+                               eta=0.0)
+    settings = SamplerSettings(steps=steps, cfg_scale=cfg_scale,
+                               parameterization="eps", clean_cond=True)
+    cfg_cond = _jax_cond([ctx_u, ctx_c], concat, t, ctx_dim, fs)
+
+    def unet_apply(p, x, ts, context_text, context_img, fs):
+        return jax_unet.apply({"params": p}, x, ts, context_text=context_text,
+                              context_img=context_img, fs=fs)
+
+    model_fn = make_cfg_denoiser(unet_apply, params, cfg_cond, settings)
+    tr = lambda a: jnp.asarray(np.transpose(a, (0, 2, 3, 4, 1)))
+    out = jax.jit(
+        lambda xt: ddim_sample(model_fn, xt, sched, table, settings,
+                               mask=tr(mask), x0=tr(x0))
+    )(tr(x_T))
+    out = np.transpose(np.asarray(out), (0, 4, 1, 2, 3))
+    np.testing.assert_allclose(out, out_ref, atol=5e-3, rtol=0)
+    assert np.median(np.abs(out - out_ref)) < 5e-4

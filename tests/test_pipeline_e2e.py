@@ -70,3 +70,20 @@ def test_no_cfg_single_pass(pipe):
     out = pipe.sample(["x"], _videos(), steps=2, cfg_scale=1.0,
                       timestep_spacing="uniform_trailing", seed=4)
     assert np.all(np.isfinite(out.videos))
+
+
+def test_sample_with_latent_mask(pipe):
+    """Inpaint-style conditioning: masked latents held at x0."""
+    import jax
+
+    vids = _videos()
+    z0 = pipe.sample(["x"], vids, steps=2, cfg_scale=1.0,
+                     timestep_spacing="uniform_trailing", seed=3,
+                     decode=False)[:, 0]
+    mask = np.zeros_like(np.asarray(z0))
+    mask[:, 0] = 1.0  # pin first frame
+    out = pipe.sample(["x"], vids, steps=2, cfg_scale=1.5,
+                      timestep_spacing="uniform_trailing", seed=4,
+                      decode=False, mask=mask, x0_latents=np.asarray(z0))
+    assert out.shape[2:] == (4, 8, 8, 4)
+    assert np.all(np.isfinite(out))
