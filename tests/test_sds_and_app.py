@@ -95,3 +95,35 @@ def test_app_backend(tmp_path, monkeypatch):
     path = backend.get_image(img, "a drifting cloud", steps=2,
                              cfg_scale=2.0, eta=0.0, seed=3)
     assert os.path.exists(path) and path.endswith(".mp4")
+
+
+def test_inference_cli_interp_two_images(tmp_path):
+    """--interp pairs two images per prompt (inference.py:71-113 convention)."""
+    import yaml
+    from PIL import Image
+
+    cfg_path = tmp_path / "tiny.yaml"
+    cfg_path.write_text(yaml.dump(TINY_MODEL_CONFIG))
+    pdir = tmp_path / "prompts"
+    pdir.mkdir()
+    rng = np.random.default_rng(0)
+    for name in ("a_start.png", "a_end.png"):
+        Image.fromarray(rng.integers(0, 255, (20, 20, 3)).astype(np.uint8)
+                        ).save(pdir / name)
+    (pdir / "prompts.txt").write_text("morphing shapes\n")
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    res = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "inference.py"),
+         "--config", str(cfg_path), "--prompt_dir", str(pdir),
+         "--savedir", str(tmp_path / "out"), "--random_init",
+         "--height", "16", "--width", "16", "--video_length", "4",
+         "--ddim_steps", "2", "--timestep_spacing", "uniform_trailing",
+         "--unconditional_guidance_scale", "2.0", "--text_input",
+         "--interp"],
+        capture_output=True, text=True, env=env, timeout=1200, cwd=repo)
+    assert res.returncode == 0, res.stderr[-3000:]
+    assert len(list((tmp_path / "out").glob("*.mp4"))) == 1
