@@ -107,6 +107,7 @@ def _flash_fwd(q, k, v, scale, block_q, block_k, interpret):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
                                  "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * n * h * lq_p * lk_p * d,
@@ -307,7 +308,12 @@ def flash_attention(
         n *= s
     round128 = lambda x: ((x + 127) // 128) * 128
     block_q = min(block_q, round128(lq))
-    block_k = min(block_k, round128(lk))
+    if lk <= 2560:
+        # single-KV-block: skips all online-softmax correction passes
+        # (measured 9.7 vs 10.8 ms at L=2560x5h on v5e)
+        block_k = round128(lk)
+    else:
+        block_k = min(block_k, round128(lk))
 
     if packed:
         # (..., L, H, D) -> (N, L, H*D): reshape only, no transpose
