@@ -62,16 +62,19 @@ def xla_attention(
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
-    # bf16 inputs ride the MXU natively; fp32 accumulation keeps the logits
-    # exact (strictly tighter than the reference's fp16-autocast einsum,
-    # attention.py:103 under amp).
+    # Logits dtype follows the input: bf16 inputs keep bf16 logits (fp32 MXU
+    # accumulation, rounded on store) — the reference's fp16-autocast einsum
+    # behaves the same (attention.py:103 under amp) and it halves the
+    # logits-matrix HBM traffic, which dominates mid-resolution attention.
+    # The softmax itself still computes in fp32 (XLA fuses the upcast).
+    logit_dtype = q.dtype if q.dtype != jnp.float64 else jnp.float32
     sim = jnp.einsum("...qhd,...khd->...hqk", q, k,
-                     preferred_element_type=jnp.float32) * scale
+                     preferred_element_type=logit_dtype) * scale
     if mask is not None:
         neg = jnp.finfo(sim.dtype).max
         sim = jnp.where(mask, sim, -neg)
-    attn = jax.nn.softmax(sim, axis=-1)
-    out = jnp.einsum("...hqk,...khd->...qhd", attn.astype(v.dtype), v,
+    attn = jax.nn.softmax(sim.astype(jnp.float32), axis=-1).astype(v.dtype)
+    out = jnp.einsum("...hqk,...khd->...qhd", attn, v,
                      preferred_element_type=jnp.float32)
     return out.astype(q.dtype)
 
