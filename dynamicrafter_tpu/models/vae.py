@@ -95,10 +95,13 @@ class AttnBlock(nn.Module):
         q = dense("q")(hid).reshape(n, h * w, c)
         k = dense("k")(hid).reshape(n, h * w, c)
         v = dense("v")(hid).reshape(n, h * w, c)
-        sim = jnp.einsum("nqc,nkc->nqk", q.astype(jnp.float32),
-                         k.astype(jnp.float32)) * (c ** -0.5)
-        attn = jax.nn.softmax(sim, axis=-1).astype(x.dtype)
-        out = jnp.einsum("nqk,nkc->nqc", attn, v).reshape(n, h, w, c)
+        # input-dtype logits (fp32 MXU accumulation), fp32 softmax fused
+        sim = jnp.einsum("nqc,nkc->nqk", q, k,
+                         preferred_element_type=x.dtype) * (c ** -0.5)
+        attn = jax.nn.softmax(sim.astype(jnp.float32), axis=-1).astype(x.dtype)
+        out = jnp.einsum("nqk,nkc->nqc", attn, v,
+                         preferred_element_type=jnp.float32)
+        out = out.astype(x.dtype).reshape(n, h, w, c)
         return x + dense("proj_out")(out)
 
 
