@@ -24,7 +24,7 @@ RESOLUTIONS = {
     "320_512": dict(height=320, width=512, fs=24, fs_min=15, fs_max=30,
                     config="configs/inference_512_v1.0.yaml",
                     timestep_spacing="uniform_trailing", guidance_rescale=0.7),
-    "576_1024": dict(height=576, width=1024, fs=10, fs_min=15, fs_max=30,
+    "576_1024": dict(height=576, width=1024, fs=10, fs_min=5, fs_max=20,
                      config="configs/inference_1024_v1.0.yaml",
                      timestep_spacing="uniform_trailing", guidance_rescale=0.7),
 }

@@ -16,7 +16,6 @@ from __future__ import annotations
 
 import csv
 import os
-import queue
 import random
 import threading
 from typing import Dict, Iterator, List, Optional, Sequence, Tuple
@@ -65,11 +64,24 @@ class WebVidDataset:
         self.random_fs = random_fs
         self.fixed_fps = fixed_fps
         self.fps_max = fps_max
-        self.rng = random.Random(seed)
+        self.seed = seed
+        # per-thread RNG: decode workers run concurrently, and sharing one
+        # Random would make stride/start draws racy and irreproducible
+        # (reference: per-worker seeding in main/utils_data.py:15-28)
+        self._tls = threading.local()
         self.metadata: List[Dict[str, str]] = []
         with open(meta_path) as f:
             for row in csv.DictReader(f):
                 self.metadata.append(row)
+
+    @property
+    def rng(self) -> random.Random:
+        r = getattr(self._tls, "rng", None)
+        if r is None:
+            base = self.seed if self.seed is not None else random.randrange(2**31)
+            r = random.Random(f"{base}-{threading.get_ident()}")
+            self._tls.rng = r
+        return r
 
     def __len__(self) -> int:
         return len(self.metadata)
@@ -171,29 +183,42 @@ class SyntheticVideoDataset:
 
 
 class DataLoader:
-    """Shuffled, batched, background-prefetched loader.
+    """Shuffled, batched, multi-worker prefetched loader.
 
-    Replaces DataModuleFromConfig + torch DataLoader (main/utils_data.py:44-136)
-    with a thread pool feeding a bounded queue; batches are dict-of-arrays
-    ready for device_put.
+    Replaces DataModuleFromConfig + torch DataLoader (main/utils_data.py:44-136):
+      * `num_workers` decode threads run concurrently (video decode releases
+        the GIL inside cv2), filling a bounded prefetch window;
+      * batch order stays deterministic — futures are consumed in submission
+        order, so worker count never changes the stream of batches;
+      * multi-host training shards the (epoch-shuffled) index list so each
+        host sees a disjoint slice: pass shard_id=jax.process_index(),
+        num_shards=jax.process_count(). The shuffle seed is (seed, epoch),
+        identical on every host, which keeps the shards disjoint.
     """
 
     def __init__(self, dataset, batch_size: int, tokenizer=None,
                  shuffle: bool = True, seed: int = 0, num_workers: int = 4,
-                 prefetch: int = 4, fs_key: str = "frame_stride"):
+                 prefetch: int = 4, fs_key: str = "frame_stride",
+                 shard_id: int = 0, num_shards: int = 1,
+                 max_epochs: Optional[int] = None):
+        assert 0 <= shard_id < num_shards
         self.dataset = dataset
         self.batch_size = batch_size
         self.tokenizer = tokenizer
         self.shuffle = shuffle
         self.seed = seed
         self.num_workers = max(1, num_workers)
-        self.prefetch = prefetch
+        self.prefetch = max(1, prefetch)
         self.fs_key = fs_key
+        self.shard_id = shard_id
+        self.num_shards = num_shards
+        self.max_epochs = max_epochs
 
     def _collate(self, samples: Sequence[Dict]) -> Dict[str, np.ndarray]:
+        fs_dtype = (np.float32 if self.fs_key == "fps" else np.int32)
         batch = {
             "video": np.stack([s["video"] for s in samples]),
-            "fs": np.stack([np.asarray(s[self.fs_key], np.int32)
+            "fs": np.stack([np.asarray(s[self.fs_key], fs_dtype)
                             for s in samples]),
             "captions": [s["caption"] for s in samples],
         }
@@ -201,31 +226,43 @@ class DataLoader:
             batch["tokens"] = self.tokenizer([s["caption"] for s in samples])
         return batch
 
+    def _epoch_indices(self, epoch: int) -> List[int]:
+        idxs = list(range(len(self.dataset)))
+        if self.shuffle:
+            random.Random(f"{self.seed}-{epoch}").shuffle(idxs)
+        return idxs[self.shard_id::self.num_shards]
+
+    def _index_batches(self) -> Iterator[List[int]]:
+        epoch = 0
+        while self.max_epochs is None or epoch < self.max_epochs:
+            idxs = self._epoch_indices(epoch)
+            for i0 in range(0, len(idxs) - self.batch_size + 1,
+                            self.batch_size):
+                yield idxs[i0:i0 + self.batch_size]
+            epoch += 1
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        rng = random.Random(self.seed)
-        order = list(range(len(self.dataset)))
-        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
-        stop = threading.Event()
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
 
-        def producer():
-            epoch = 0
-            while not stop.is_set():
-                idxs = list(order)
-                if self.shuffle:
-                    rng.shuffle(idxs)
-                for i0 in range(0, len(idxs) - self.batch_size + 1,
-                                self.batch_size):
-                    if stop.is_set():
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            pending: deque = deque()
+            batches = self._index_batches()
+            try:
+                while True:
+                    while len(pending) < self.prefetch:
+                        try:
+                            idx_batch = next(batches)
+                        except StopIteration:
+                            break
+                        pending.append(
+                            [pool.submit(self.dataset.__getitem__, i)
+                             for i in idx_batch])
+                    if not pending:
                         return
-                    samples = [self.dataset[i]
-                               for i in idxs[i0:i0 + self.batch_size]]
-                    q.put(self._collate(samples))
-                epoch += 1
-
-        thread = threading.Thread(target=producer, daemon=True)
-        thread.start()
-        try:
-            while True:
-                yield q.get()
-        finally:
-            stop.set()
+                    yield self._collate([f.result()
+                                         for f in pending.popleft()])
+            finally:
+                for futs in pending:
+                    for f in futs:
+                        f.cancel()

@@ -128,16 +128,55 @@ def _resize_matrix(in_size: int, out_size: int) -> np.ndarray:
     return mat.astype(np.float32)
 
 
-def clip_preprocess(images: jax.Array, out_size: int = 224) -> jax.Array:
+def _gaussian_blur_matrix(size: int, sigma: float, ksize: int) -> np.ndarray:
+    """Separable gaussian blur with reflect padding as a (size, size) matrix
+    (kornia.filters.gaussian_blur2d, border_type='reflect')."""
+    x = np.arange(ksize, dtype=np.float64) - (ksize - 1) / 2
+    g = np.exp(-(x * x) / (2.0 * sigma * sigma))
+    g /= g.sum()
+    mat = np.zeros((size, size), dtype=np.float64)
+    half = ksize // 2
+    for k, off in enumerate(range(-half, half + 1)):
+        j = np.arange(size) + off
+        # torch 'reflect' padding: edge not repeated
+        j = np.where(j < 0, -j, j)
+        j = np.where(j >= size, 2 * size - 2 - j, j)
+        np.add.at(mat, (np.arange(size), j), g[k])
+    return mat.astype(np.float32)
+
+
+def _antialias_sigma_ks(factor: float):
+    """kornia.geometry.resize antialias parameters for one axis:
+    sigma = max((factor-1)/2, 0.001), ksize = max(4*sigma, 3) rounded to odd.
+    kornia triggers the blur when max(factors) > 1 and then blurs BOTH axes
+    (the non-downscaled axis gets the clamped near-identity sigma)."""
+    sigma = max((factor - 1.0) / 2.0, 0.001)
+    ks = int(max(2.0 * 2 * sigma, 3))
+    if ks % 2 == 0:
+        ks += 1
+    return sigma, ks
+
+
+def clip_preprocess(images: jax.Array, out_size: int = 224,
+                    antialias: bool = True) -> jax.Array:
     """[-1,1] (B,H,W,3) -> CLIP-normalized (B,224,224,3).
 
-    Bicubic align-corners resize + CLIP renormalization
-    (condition.py:319-330). The resize is two constant matmuls.
+    kornia.geometry.resize(..., 'bicubic', align_corners=True,
+    antialias=True) + CLIP renormalization (condition.py:322-330). The
+    antialias gaussian pre-blur (applied on downscale only) is linear, so it
+    is folded into the constant per-axis resize matrices — the whole
+    preprocess stays two matmuls.
     """
     b, h, w, c = images.shape
     x = images.astype(jnp.float32)
-    mh = jnp.asarray(_resize_matrix(h, out_size))
-    mw = jnp.asarray(_resize_matrix(w, out_size))
+    mh_np, mw_np = _resize_matrix(h, out_size), _resize_matrix(w, out_size)
+    if antialias and max(h, w) > out_size:
+        mh_np = mh_np @ _gaussian_blur_matrix(
+            h, *_antialias_sigma_ks(h / out_size))
+        mw_np = mw_np @ _gaussian_blur_matrix(
+            w, *_antialias_sigma_ks(w / out_size))
+    mh = jnp.asarray(mh_np)
+    mw = jnp.asarray(mw_np)
     x = jnp.einsum("oh,bhwc->bowc", mh, x)
     x = jnp.einsum("ow,bhwc->bhoc", mw, x)
     x = (x + 1.0) / 2.0

@@ -288,39 +288,50 @@ def decode_tiled(
     n, h, w, zc = z.shape
     if h <= tile and w <= tile:
         return decode_fn(z)
-    stride = tile - overlap
-    hs = list(range(0, max(h - tile, 0) + 1, stride))
-    ws = list(range(0, max(w - tile, 0) + 1, stride))
-    if hs[-1] + tile < h:
-        hs.append(h - tile)
-    if ws[-1] + tile < w:
-        ws.append(w - tile)
+    # per-axis tile size: a dim smaller than `tile` gets one full-size tile
+    # (guards e.g. 32x80 latents, where a square (tile, tile) window would
+    # exceed the short axis)
+    tile_h, tile_w = min(tile, h), min(tile, w)
+
+    def _starts(dim, t):
+        stride = max(t - overlap, 1)
+        s = list(range(0, max(dim - t, 0) + 1, stride))
+        if s[-1] + t < dim:
+            s.append(dim - t)
+        return s
+
+    hs, ws = _starts(h, tile_h), _starts(w, tile_w)
 
     out_h, out_w = h * scale, w * scale
     out = jnp.zeros((n, out_h, out_w, 3), dtype=jnp.float32)
     weight = jnp.zeros((out_h, out_w, 1), dtype=jnp.float32)
 
-    ramp = np.ones(tile * scale, dtype=np.float32)
-    band = overlap * scale
-    if band > 0:
-        ramp[:band] = np.linspace(0, 1, band, endpoint=False) + 1.0 / band
-        ramp[-band:] = ramp[:band][::-1]
-    tile_w2d = jnp.asarray(ramp[:, None] * ramp[None, :])[..., None]
+    def _ramp(t, needs_blend):
+        r = np.ones(t * scale, dtype=np.float32)
+        band = overlap * scale
+        if band > 0 and needs_blend:
+            r[:band] = np.linspace(0, 1, band, endpoint=False) + 1.0 / band
+            r[-band:] = r[:band][::-1]
+        return r
+
+    ramp_h = _ramp(tile_h, len(hs) > 1)
+    ramp_w = _ramp(tile_w, len(ws) > 1)
+    tile_w2d = jnp.asarray(ramp_h[:, None] * ramp_w[None, :])[..., None]
 
     for y in hs:
         for x0 in ws:
-            zt = jax.lax.dynamic_slice(z, (0, y, x0, 0), (n, tile, tile, zc))
+            zt = jax.lax.dynamic_slice(z, (0, y, x0, 0), (n, tile_h, tile_w, zc))
             dec = decode_fn(zt).astype(jnp.float32) * tile_w2d
             out = jax.lax.dynamic_update_slice(
                 out,
                 jax.lax.dynamic_slice(out, (0, y * scale, x0 * scale, 0),
-                                      (n, tile * scale, tile * scale, 3)) + dec,
+                                      (n, tile_h * scale, tile_w * scale, 3)) + dec,
                 (0, y * scale, x0 * scale, 0),
             )
             weight = jax.lax.dynamic_update_slice(
                 weight,
                 jax.lax.dynamic_slice(weight, (y * scale, x0 * scale, 0),
-                                      (tile * scale, tile * scale, 1)) + tile_w2d,
+                                      (tile_h * scale, tile_w * scale, 1)) + tile_w2d,
                 (y * scale, x0 * scale, 0),
             )
     return out / jnp.maximum(weight, 1e-8)

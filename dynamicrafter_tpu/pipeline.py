@@ -64,9 +64,15 @@ class DynamiCrafterPipeline:
         tokenizer=None,
         tiled_vae_threshold: int = 64,
         bake_params: bool = False,
+        cast_storage: bool = True,
     ):
+        # cast_storage: cast param STORAGE to `dtype` (inference pipelines).
+        # Training must pass False — AdamW master weights, moments, and the
+        # 0.9999-EMA shadow all need fp32 storage (per-step updates ~1e-5
+        # relative round away in bf16); compute still runs in `dtype`.
         self.config = config
         self.dtype = dtype
+        self.cast_storage = cast_storage
         self.mesh = mesh
         self.tiled_vae_threshold = tiled_vae_threshold
         # bake_params: close the UNet weights over the jitted sampler as
@@ -100,7 +106,7 @@ class DynamiCrafterPipeline:
             base_scale=config.base_scale,
             turning_step=config.turning_step,
         )
-        if params is not None and dtype != jnp.float32:
+        if params is not None and dtype != jnp.float32 and cast_storage:
             # bf16 weight storage halves HBM and per-step weight bandwidth;
             # norm scales/biases stay fp32 (fp32-island semantics)
             params = W.cast_params(params, dtype)
@@ -111,15 +117,22 @@ class DynamiCrafterPipeline:
     # ------------------------------------------------------------------
 
     @classmethod
-    def from_checkpoint(cls, config_path: str, ckpt_path: str, **kw):
-        """Load a released PyTorch checkpoint (any of the 3 formats)."""
+    def from_checkpoint(cls, config_path: str, ckpt_path: str,
+                        allow_hash_tokenizer: bool = False, **kw):
+        """Load a released PyTorch checkpoint (any of the 3 formats).
+
+        allow_hash_tokenizer: only for tests with fabricated checkpoints;
+        real-weight loads hard-fail on the hash-tokenizer fallback.
+        """
         import torch
 
         config = ModelConfig.from_yaml(config_path)
         sd = torch.load(ckpt_path, map_location="cpu", weights_only=True)
-        sd = W.normalize_state_dict(
-            {k: v.numpy() for k, v in
-             (sd.get("state_dict", sd)).items()})
+        # unwrap/rename first (deepspeed ckpts nest tensors under 'module'),
+        # THEN convert tensors to numpy
+        sd = W.normalize_state_dict(sd)
+        sd = {k: (v.float().numpy() if hasattr(v, "numpy") else np.asarray(v))
+              for k, v in sd.items()}
         split = W.split_reference_checkpoint(sd)
         n_text_layers = CLIPTextConfig(**config.clip_text).layers - 1
         params = {
@@ -130,7 +143,16 @@ class DynamiCrafterPipeline:
         }
         if split["resampler"]:
             params["resampler"] = W.convert_resampler(split["resampler"])
-        return cls(config, params=params, **kw)
+        pipe = cls(config, params=params, **kw)
+        # real weights + hash-fallback tokenizer = silent garbage text
+        # conditioning; hard-fail instead
+        from dynamicrafter_tpu.utils.tokenizer import HashTokenizer
+        if isinstance(pipe.tokenizer, HashTokenizer) and not allow_hash_tokenizer:
+            raise FileNotFoundError(
+                "loaded a real checkpoint but no CLIP BPE vocab is available "
+                "(tokenizer fell back to HashTokenizer) — pass tokenizer= or "
+                "install bpe_simple_vocab_16e6.txt.gz in a default location.")
+        return pipe
 
     def init_random(self, seed: int = 0, latent_hw: Tuple[int, int] = (8, 8)):
         """Random-init all components (smoke runs without checkpoints)."""
@@ -166,7 +188,7 @@ class DynamiCrafterPipeline:
                 keys[4],
                 jnp.zeros((1, n_patches, self.resampler.config.embedding_dim)),
             )["params"]
-        if self.dtype != jnp.float32:
+        if self.dtype != jnp.float32 and self.cast_storage:
             params = W.cast_params(params, self.dtype)
         self.params = params
         return params

@@ -60,10 +60,27 @@ class MetricLogger:
         metrics.update(self.device_memory_stats())
         row = {"step": step, "wall_s": round(time.time() - self._t0, 2),
                **{k: float(v) for k, v in metrics.items()}}
-        if self._csv is None:
-            self._csv = csv.DictWriter(self._csv_file, fieldnames=list(row))
-            if self._csv_file.tell() == 0:
+        if self._csv is None or any(k not in self._csv.fieldnames for k in row):
+            # new metric keys can appear later (e.g. val/* rows between train
+            # rows) — restart the writer with the union of fields and rewrite
+            # the file so the header stays correct
+            old_fields = list(self._csv.fieldnames) if self._csv else []
+            fields = old_fields + [k for k in row if k not in old_fields]
+            if old_fields and self._csv_file.tell() > 0:
+                self._csv_file.close()
+                with open(self._csv_path) as f:
+                    old_rows = list(csv.DictReader(f))
+                self._csv_file = open(self._csv_path, "w", newline="")
+                self._csv = csv.DictWriter(self._csv_file, fieldnames=fields,
+                                           restval="")
                 self._csv.writeheader()
+                for r in old_rows:
+                    self._csv.writerow(r)
+            else:
+                self._csv = csv.DictWriter(self._csv_file, fieldnames=fields,
+                                           restval="")
+                if self._csv_file.tell() == 0:
+                    self._csv.writeheader()
         self._csv.writerow(row)
         self._csv_file.flush()
         if self._tb is not None:

@@ -190,9 +190,21 @@ class HashTokenizer:
 
 
 @functools.lru_cache(maxsize=2)
-def default_tokenizer(vocab_path: Optional[str] = None):
-    """CLIPTokenizer when a vocab is available, else HashTokenizer."""
+def default_tokenizer(vocab_path: Optional[str] = None, require_real: bool = False):
+    """CLIPTokenizer when a vocab is available, else HashTokenizer.
+
+    With ``require_real=True`` the hash fallback is an error: real CLIP
+    weights fed hash-token ids produce garbage text conditioning with no
+    other symptom, so callers loading released checkpoints must hard-fail
+    instead of silently degrading.
+    """
     try:
         return CLIPTokenizer(vocab_path)
     except FileNotFoundError:
+        if require_real:
+            raise FileNotFoundError(
+                "real checkpoint weights loaded but no CLIP BPE vocab found — "
+                "text conditioning would be garbage. Pass --vocab_path "
+                "pointing at bpe_simple_vocab_16e6.txt.gz (shipped with "
+                "open_clip).")
         return HashTokenizer()

@@ -58,18 +58,28 @@ def _set(tree: Dict, path, value):
     node[path[-1]] = np.asarray(value, dtype=np.float32)
 
 
-def normalize_state_dict(sd: Mapping[str, np.ndarray]) -> Dict[str, np.ndarray]:
-    """Apply the three source-format fixups to a raw checkpoint dict."""
+_DEEPSPEED_PREFIX = "_forward_module."  # 16 chars — reference strips key[16:]
+
+
+def normalize_state_dict(sd: Mapping) -> Dict[str, np.ndarray]:
+    """Apply the three source-format fixups to a raw checkpoint dict.
+
+    Formats (reference scripts/evaluation/inference.py:36-59,
+    scripts/evaluation/funcs.py:103-124):
+      1. plain          {"state_dict": {plain keys}}
+      2. 256-model      same, but framestride_embed -> fps_embedding rename
+      3. deepspeed      {"module": {"_forward_module.<key>": tensor}, ...}
+                        — weights nested under 'module', each key carrying the
+                        16-char '_forward_module.' prefix (reference does
+                        key[16:] unconditionally).
+    """
     if "state_dict" in sd:
         sd = sd["state_dict"]
-    keys = list(sd.keys())
-    out = {}
-    if keys and all(k.startswith("module.") for k in keys):
-        # deepspeed format: the reference strips key[16:]
-        for k in keys:
-            out[k[16:]] = sd[k]
-    else:
-        out = dict(sd)
+    elif "module" in sd and isinstance(sd["module"], Mapping):
+        sd = {(k[len(_DEEPSPEED_PREFIX):] if k.startswith(_DEEPSPEED_PREFIX)
+               else k): v
+              for k, v in sd["module"].items()}
+    out = dict(sd)
     # 256-model rename
     for k in list(out.keys()):
         if "framestride_embed" in k:

@@ -48,6 +48,8 @@ def get_parser():
                    help="capture a jax.profiler trace for steps [10, 10+N)")
     p.add_argument("--val_every", type=int, default=0,
                    help="validation loss (with/without EMA) every N steps")
+    p.add_argument("--vocab_path", default=None,
+                   help="CLIP BPE vocab (bpe_simple_vocab_16e6.txt.gz)")
     return p
 
 
@@ -111,12 +113,20 @@ def main():
     lr = base_lr * (n_dev * bs if scale_lr else 1.0)  # trainer.py:88-93
     log.info(f"devices={n_dev} mesh={mesh} lr={lr} bs={bs} accum={accum}")
 
+    from dynamicrafter_tpu.utils.tokenizer import default_tokenizer
+
+    # cast_storage=False: trainable params / optimizer moments / EMA must stay
+    # fp32 — bf16 storage rounds away ~1e-5-relative AdamW updates. Compute
+    # still runs in `dtype`; frozen towers get bf16 storage below.
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
-    pipe = DynamiCrafterPipeline(model_cfg, dtype=dtype, mesh=mesh)
+    tokenizer = default_tokenizer(args.vocab_path)
+    pipe = DynamiCrafterPipeline(model_cfg, dtype=dtype, mesh=mesh,
+                                 tokenizer=tokenizer, cast_storage=False)
 
     if args.pretrained and args.pretrained.endswith((".ckpt", ".pt", ".pth")):
         loaded = DynamiCrafterPipeline.from_checkpoint(
-            args.config[0], args.pretrained, dtype=dtype, mesh=mesh)
+            args.config[0], args.pretrained, dtype=dtype, mesh=mesh,
+            tokenizer=tokenizer, cast_storage=False)
         pipe.params = loaded.params
         log.info(f"loaded pretrained torch checkpoint {args.pretrained}")
     else:
@@ -147,8 +157,14 @@ def main():
             and "resampler" in pipe.params:
         trainable["resampler"] = pipe.params["resampler"]
     frozen = {k: v for k, v in pipe.params.items() if k not in trainable}
+    if args.bf16:
+        # frozen towers (VAE, CLIP) are inference-only: bf16 storage is safe
+        # and halves their HBM + weight bandwidth
+        from dynamicrafter_tpu.utils import weights as W
+        frozen = W.cast_params(frozen, jnp.bfloat16)
 
-    state, tx = create_train_state(trainable, tcfg)
+    with use_mesh(mesh):
+        state, tx = create_train_state(trainable, tcfg)
     raw_step = make_train_step(pipe, tcfg, tx)
     step_fn = jax.jit(raw_step, donate_argnums=(0,))
     eval_fn = jax.jit(raw_step.eval_step)
@@ -164,27 +180,52 @@ def main():
             state = restored
             log.info(f"resumed from step {int(state.step)}")
 
-    # data
-    tr = data_cfg.get("train", {}).get("params", {})
-    if args.synthetic_data or not tr:
-        res = tuple(tr.get("resolution", (64, 64)))
-        dataset = SyntheticVideoDataset(
-            video_length=tr.get("video_length",
-                                pipe.unet_config.temporal_length or 16),
-            resolution=res)
-        log.info("using SyntheticVideoDataset")
-    else:
-        dataset = WebVidDataset(
-            meta_path=tr["meta_path"], data_dir=tr["data_dir"],
-            video_length=tr.get("video_length", 16),
-            frame_stride=tr.get("frame_stride", 4),
-            resolution=tuple(tr.get("resolution", (320, 512))),
-            random_fs=tr.get("random_fs", False),
+    # data — the batch key feeding the UNet's fps_embedding follows
+    # fps_condition_type (reference ddpm3d.py:1118-1121): 'fps' -> real
+    # frames/sec, anything else ('fs') -> frame stride
+    fs_key = "fps" if model_cfg.fps_condition_type == "fps" else "frame_stride"
+    num_workers = data_cfg.get("num_workers", 4)
+
+    def build_dataset(split_params, split_name):
+        if args.synthetic_data or not split_params:
+            res = tuple(split_params.get("resolution", (64, 64)))
+            log.info(f"using SyntheticVideoDataset for {split_name}")
+            return SyntheticVideoDataset(
+                video_length=split_params.get(
+                    "video_length", pipe.unet_config.temporal_length or 16),
+                resolution=res)
+        return WebVidDataset(
+            meta_path=split_params["meta_path"],
+            data_dir=split_params["data_dir"],
+            video_length=split_params.get("video_length", 16),
+            frame_stride=split_params.get("frame_stride", 4),
+            resolution=tuple(split_params.get("resolution", (320, 512))),
+            random_fs=split_params.get("random_fs", False),
+            fixed_fps=split_params.get("fixed_fps"),
+            fps_max=split_params.get("fps_max"),
         )
+
+    tr = data_cfg.get("train", {}).get("params", {})
+    dataset = build_dataset(tr, "train")
     loader = DataLoader(dataset, batch_size=bs, tokenizer=pipe.tokenizer,
-                        seed=args.seed,
-                        num_workers=raw.get("data", {}).get("params", {})
-                        .get("num_workers", 4))
+                        seed=args.seed, num_workers=num_workers,
+                        fs_key=fs_key,
+                        shard_id=jax.process_index(),
+                        num_shards=jax.process_count())
+
+    # real validation split (reference main/utils_data.py:44-136 builds a
+    # val loader; validating on the train batch is meaningless)
+    val_iter = None
+    if args.val_every:
+        va = data_cfg.get("validation", {}).get("params", {})
+        val_dataset = build_dataset(va or tr, "validation")
+        val_loader = DataLoader(val_dataset, batch_size=bs,
+                                tokenizer=pipe.tokenizer,
+                                shuffle=False, seed=args.seed + 1,
+                                num_workers=num_workers, fs_key=fs_key,
+                                shard_id=jax.process_index(),
+                                num_shards=jax.process_count())
+        val_iter = iter(val_loader)
 
     metrics_log = MetricLogger(workdir)
     sample_logger = None
@@ -219,8 +260,12 @@ def main():
                       "fs": jnp.asarray(batch["fs"])}
             state, m = step_fn(state, frozen, jbatch, rng)
             step = int(state.step)
-            if args.val_every and step % args.val_every == 0:
-                vals = eval_fn(state, frozen, jbatch, rng)
+            if val_iter is not None and step % args.val_every == 0:
+                vb = next(val_iter)
+                jval = {"video": jnp.asarray(vb["video"]),
+                        "tokens": jnp.asarray(vb["tokens"]),
+                        "fs": jnp.asarray(vb["fs"])}
+                vals = eval_fn(state, frozen, jval, rng)
                 metrics_log.log(step, {k: float(v) for k, v in vals.items()})
                 log.info(f"step {step} val: " + " ".join(
                     f"{k}={float(v):.4g}" for k, v in vals.items()))
@@ -238,12 +283,18 @@ def main():
                 want_ckpt["now"] = False
                 log.info(f"checkpoint at step {step}")
             if sample_logger is not None:
-                # sample with EMA weights when available (reference
-                # ema_scope, ddpm3d.py:188-201)
-                eval_params = state.ema_params or state.params
-                pipe.params = {**frozen, **{k: eval_params[k]
-                                            for k in trainable}}
-                sample_logger.maybe_log(step, batch)
+                # EMA-scoped sampling (reference ema_scope, ddpm3d.py:188-201):
+                # swap EMA weights in for the sample, restore afterwards —
+                # pipe.params must not permanently become the EMA shadow
+                eval_params = (state.ema_params if state.ema_params is not None
+                               else state.params)
+                saved = pipe.params
+                try:
+                    pipe.params = {**frozen, **{k: eval_params[k]
+                                                for k in trainable}}
+                    sample_logger.maybe_log(step, batch)
+                finally:
+                    pipe.params = saved
     mngr.save(int(state.step), state, force=True)
     mngr.wait()
     log.info(f"done at step {int(state.step)}")

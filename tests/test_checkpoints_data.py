@@ -60,6 +60,65 @@ def test_synthetic_dataset_and_loader():
     it.close()
 
 
+def test_loader_workers_decode_concurrently():
+    """num_workers decode threads overlap (round-1 review: num_workers was
+    accepted but dead — one producer thread did everything)."""
+    import threading
+    import time
+
+    active = {"n": 0, "max": 0}
+    lock = threading.Lock()
+
+    class SlowDataset:
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, i):
+            with lock:
+                active["n"] += 1
+                active["max"] = max(active["max"], active["n"])
+            time.sleep(0.05)
+            with lock:
+                active["n"] -= 1
+            return {"video": np.zeros((2, 8, 8, 3), np.float32),
+                    "caption": "x", "fps": np.float32(8),
+                    "frame_stride": np.int32(1)}
+
+    loader = DataLoader(SlowDataset(), batch_size=4, num_workers=4,
+                        prefetch=4)
+    it = iter(loader)
+    for _ in range(6):
+        next(it)
+    it.close()
+    assert active["max"] >= 3, f"max concurrency {active['max']} — decode not parallel"
+
+
+def test_loader_multihost_shards_disjoint_and_deterministic():
+    """Two 'hosts' see disjoint index slices of the same epoch shuffle, and
+    worker count never changes the batch stream (per-worker seeding +
+    index sharding, reference main/utils_data.py:15-28)."""
+    ds = SyntheticVideoDataset(video_length=2, resolution=(8, 8), size=20)
+    idx0 = DataLoader(ds, batch_size=2, seed=7, shard_id=0,
+                      num_shards=2)._epoch_indices(0)
+    idx1 = DataLoader(ds, batch_size=2, seed=7, shard_id=1,
+                      num_shards=2)._epoch_indices(0)
+    assert not set(idx0) & set(idx1), "host shards overlap"
+    assert sorted(idx0 + idx1) == list(range(20))
+
+    def first_batches(num_workers, n=4):
+        loader = DataLoader(ds, batch_size=2, seed=3,
+                            num_workers=num_workers, max_epochs=1)
+        out = []
+        it = iter(loader)
+        for _ in range(n):
+            out.append(next(it)["video"])
+        it.close()
+        return out
+
+    for a, b in zip(first_batches(1), first_batches(4)):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_resize_center_crop():
     frames = np.zeros((2, 100, 60, 3), np.uint8)
     out = _resize_center_crop(frames, (32, 48))

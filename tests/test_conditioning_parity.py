@@ -169,10 +169,60 @@ def test_clip_preprocess_matches_torch_bicubic():
             torch.tensor(x), size=(24, 24), mode="bicubic", align_corners=True
         ).numpy()
     ours = np.asarray(clip_preprocess(
-        jnp.asarray(np.transpose(x, (0, 2, 3, 1))), out_size=24))
+        jnp.asarray(np.transpose(x, (0, 2, 3, 1))), out_size=24,
+        antialias=False))
     # undo the CLIP renorm to compare raw resize
     from dynamicrafter_tpu.models.clip import CLIP_MEAN, CLIP_STD
     ours = ours * CLIP_STD + CLIP_MEAN
     ours = ours * 2.0 - 1.0
     ours = np.transpose(ours, (0, 3, 1, 2))
     np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=0)
+
+
+def _kornia_resize_antialias_oracle(x: "torch.Tensor", out_size: int):
+    """torch reimplementation of kornia.geometry.resize(...,'bicubic',
+    align_corners=True, antialias=True) (the reference preprocess,
+    condition.py:322-326): gaussian pre-blur with sigma=(factor-1)/2 per
+    axis (clamped to 0.001), ksize=max(4*sigma,3) rounded to odd, reflect
+    padding, then bicubic align-corners interpolation. kornia itself is not
+    installed in this image, so the algorithm is reproduced from its source.
+    """
+    import torch.nn.functional as F
+
+    h, w = x.shape[-2:]
+    factors = (h / out_size, w / out_size)
+    if max(factors) > 1:
+        kernels = []
+        for f in factors:
+            sigma = max((f - 1.0) / 2.0, 0.001)
+            ks = int(max(2.0 * 2 * sigma, 3))
+            ks += 1 - ks % 2
+            g = torch.exp(-(torch.arange(ks, dtype=torch.float64)
+                            - (ks - 1) / 2) ** 2 / (2 * sigma ** 2))
+            kernels.append((g / g.sum()).float())
+        gh, gw = kernels
+        pad = (gw.numel() // 2, gw.numel() // 2,
+               gh.numel() // 2, gh.numel() // 2)
+        xp = F.pad(x, pad, mode="reflect")
+        c = x.shape[1]
+        xp = F.conv2d(xp, gh.view(1, 1, -1, 1).expand(c, 1, -1, 1), groups=c)
+        xp = F.conv2d(xp, gw.view(1, 1, 1, -1).expand(c, 1, 1, -1), groups=c)
+        x = xp
+    return F.interpolate(x, size=(out_size, out_size), mode="bicubic",
+                         align_corners=True)
+
+
+def test_clip_preprocess_antialias_downscale():
+    """Real-inference shape: 576x1024 -> 224 with the antialias pre-blur
+    (ADVICE r1: the no-blur path systematically shifted image conditioning).
+    """
+    x = np.random.default_rng(1).uniform(
+        -1, 1, (1, 3, 576, 1024)).astype(np.float32)
+    with torch.no_grad():
+        ref = _kornia_resize_antialias_oracle(torch.tensor(x), 224).numpy()
+    ours = np.asarray(clip_preprocess(
+        jnp.asarray(np.transpose(x, (0, 2, 3, 1))), out_size=224))
+    from dynamicrafter_tpu.models.clip import CLIP_MEAN, CLIP_STD
+    ours = (ours * CLIP_STD + CLIP_MEAN) * 2.0 - 1.0
+    ours = np.transpose(ours, (0, 3, 1, 2))
+    np.testing.assert_allclose(ours, ref, atol=5e-4, rtol=0)

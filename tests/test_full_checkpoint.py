@@ -73,13 +73,16 @@ def build_fake_checkpoint(tmp_path, deepspeed=False):
     sd["alphas_cumprod"] = torch.zeros(1000)
     sd["scale_arr"] = torch.zeros(1400)
 
-    if deepspeed:
-        # reference strips key[16:] from 'module.'-prefixed keys
-        # (inference.py:53-57): 'module.' + 9 filler chars
-        sd = {f"module.fill_9ch.{k}": v for k, v in sd.items()}
-
     ckpt_path = tmp_path / ("model_ds.ckpt" if deepspeed else "model.ckpt")
-    torch.save({"state_dict": sd}, str(ckpt_path))
+    if deepspeed:
+        # real deepspeed format (reference funcs.py:120-124): tensors nested
+        # under 'module' with a 16-char '_forward_module.' prefix; NO
+        # top-level 'state_dict'
+        ds = {"module": {f"_forward_module.{k}": v for k, v in sd.items()},
+              "optimizer": {}, "global_step": 0}
+        torch.save(ds, str(ckpt_path))
+    else:
+        torch.save({"state_dict": sd}, str(ckpt_path))
 
     cfg_path = tmp_path / "config.yaml"
     cfg_path.write_text(yaml.dump(TINY_MODEL_CONFIG))
@@ -90,7 +93,7 @@ def build_fake_checkpoint(tmp_path, deepspeed=False):
 @requires_reference
 def test_from_checkpoint_component_parity(tmp_path):
     cfg_path, ckpt_path, oracles = build_fake_checkpoint(tmp_path)
-    pipe = DynamiCrafterPipeline.from_checkpoint(cfg_path, ckpt_path)
+    pipe = DynamiCrafterPipeline.from_checkpoint(cfg_path, ckpt_path, allow_hash_tokenizer=True)
     assert set(pipe.params) == {"unet", "vae", "clip_text", "clip_vision",
                                 "resampler"}
 
@@ -130,5 +133,5 @@ def test_from_checkpoint_component_parity(tmp_path):
 @requires_reference
 def test_from_checkpoint_deepspeed_format(tmp_path):
     cfg_path, ckpt_path, _ = build_fake_checkpoint(tmp_path, deepspeed=True)
-    pipe = DynamiCrafterPipeline.from_checkpoint(cfg_path, ckpt_path)
+    pipe = DynamiCrafterPipeline.from_checkpoint(cfg_path, ckpt_path, allow_hash_tokenizer=True)
     assert "unet" in pipe.params and "vae" in pipe.params
