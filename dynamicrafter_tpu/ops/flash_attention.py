@@ -1,13 +1,17 @@
-"""Pallas TPU flash attention (forward) with online softmax.
+"""Pallas TPU flash attention (forward + backward) with online softmax.
 
 Replaces the reference's xformers memory_efficient_attention fast path
 (lvdm/modules/attention.py:146-209) for the big spatial self-attention
 (up to 72*128 = 9216 tokens at 1024-res). O(L) memory: the (Lq, Lk) scores
 matrix is never materialized; running max/sum/acc live in VMEM scratch.
 
-Backward currently recomputes attention through the XLA path via custom_vjp
-(training additionally uses remat); dedicated dq/dkv kernels are a later
-optimization.
+Backward: FlashAttention-2-style dq and dkv kernels. The vjp forward saves a
+fused logsumexp residual lse = m + log(l) (lane-replicated (N, H, Lq, 128),
+written only on the grad path — inference skips the extra HBM traffic); the
+backward recomputes p = exp(s - lse) tile by tile, so the (Lq, Lk) matrix is
+never materialized either way. This is what makes 576x1024 training possible:
+the XLA fallback materializes 9216^2 logits and OOMs (the reference trains
+1024 through xformers both directions, lvdm/modules/attention.py:175).
 """
 from __future__ import annotations
 
@@ -24,8 +28,13 @@ DEFAULT_BLOCK_K = 1024
 _NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
-                scale: float, kv_len: int, block_k: int, num_kv_blocks: int):
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *rest,
+                scale: float, kv_len: int, block_k: int, num_kv_blocks: int,
+                save_lse: bool):
+    if save_lse:
+        lse_ref, m_scr, l_scr, acc_scr = rest
+    else:
+        m_scr, l_scr, acc_scr = rest
     kv_idx = pl.program_id(3)
 
     @pl.when(kv_idx == 0)
@@ -66,10 +75,17 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
         l_final = l_scr[...][:, 0:1]
         l_inv = jnp.where(l_final == 0.0, 1.0, 1.0 / l_final)
         o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
+        if save_lse:
+            # fused residual for the backward: lse = m + log(l); padded q
+            # rows have l=0 -> write 0 (backward masks those rows anyway)
+            lse = jnp.where(l_scr[...] == 0.0, 0.0,
+                            m_scr[...] + jnp.log(jnp.maximum(l_scr[...],
+                                                             1e-38)))
+            lse_ref[0, 0] = lse
 
 
-def _flash_fwd(q, k, v, scale, block_q, block_k, interpret):
-    """q, k, v: (N, H, L, D) -> (N, H, Lq, D)."""
+def _flash_fwd(q, k, v, scale, block_q, block_k, interpret, save_lse=False):
+    """q, k, v: (N, H, L, D) -> (N, H, Lq, D) [, lse (N, H, Lq_p, 128)]."""
     n, h, lq, d = q.shape
     lk = k.shape[2]
 
@@ -86,9 +102,17 @@ def _flash_fwd(q, k, v, scale, block_q, block_k, interpret):
     grid = (n, h, lq_p // block_q, num_kv_blocks)
     kernel = functools.partial(
         _fwd_kernel, scale=scale, kv_len=lk, block_k=block_k,
-        num_kv_blocks=num_kv_blocks,
+        num_kv_blocks=num_kv_blocks, save_lse=save_lse,
     )
-    out = pl.pallas_call(
+    out_shapes = [jax.ShapeDtypeStruct((n, h, lq_p, d), q.dtype)]
+    out_specs = [pl.BlockSpec((1, 1, block_q, d),
+                              lambda n, h, qi, ki: (n, h, qi, 0))]
+    if save_lse:
+        out_shapes.append(
+            jax.ShapeDtypeStruct((n, h, lq_p, 128), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, 1, block_q, 128),
+                                      lambda n, h, qi, ki: (n, h, qi, 0)))
+    res = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -96,9 +120,8 @@ def _flash_fwd(q, k, v, scale, block_q, block_k, interpret):
             pl.BlockSpec((1, 1, block_k, d), lambda n, h, qi, ki: (n, h, ki, 0)),
             pl.BlockSpec((1, 1, block_k, d), lambda n, h, qi, ki: (n, h, ki, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, block_q, d),
-                               lambda n, h, qi, ki: (n, h, qi, 0)),
-        out_shape=jax.ShapeDtypeStruct((n, h, lq_p, d), q.dtype),
+        out_specs=out_specs,
+        out_shape=out_shapes,
         scratch_shapes=[
             pltpu.VMEM((block_q, 128), jnp.float32),
             pltpu.VMEM((block_q, 128), jnp.float32),
@@ -116,8 +139,11 @@ def _flash_fwd(q, k, v, scale, block_q, block_k, interpret):
         ),
         interpret=interpret,
     )(q, k, v)
+    out = res[0]
     if pad_q:
         out = out[:, :, :lq]
+    if save_lse:
+        return out, res[1]
     return out
 
 
@@ -133,15 +159,170 @@ def _xla_ref(q, k, v, scale):
     return jnp.einsum("nhqk,nhkd->nhqd", p.astype(v.dtype), v).astype(q.dtype)
 
 
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref, dq_ref,
+                   dq_scr, *, scale: float, kv_len: int, block_k: int,
+                   num_kv_blocks: int):
+    kv_idx = pl.program_id(3)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        dq_scr[...] = jnp.zeros(dq_scr.shape, jnp.float32)
+
+    q = q_ref[0, 0]                # (bq, d)
+    k = k_ref[0, 0]                # (bk, d)
+    v = v_ref[0, 0]                # (bk, d)
+    do = do_ref[0, 0].astype(jnp.float32)
+    o = o_ref[0, 0].astype(jnp.float32)
+    lse = lse_ref[0, 0][:, 0:1]    # (bq, 1)
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    if kv_len % block_k != 0:
+        col = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+               + kv_idx * block_k)
+        s = jnp.where(col < kv_len, s, _NEG_INF)
+    p = jnp.exp(s - lse)                                      # (bq, bk)
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    di = jnp.sum(do * o, axis=1, keepdims=True)               # (bq, 1)
+    ds = p * (dp - di) * scale
+    dq_scr[...] += jax.lax.dot(ds.astype(k.dtype), k,
+                               preferred_element_type=jnp.float32)
+
+    @pl.when(kv_idx == num_kv_blocks - 1)
+    def _store():
+        dq_ref[0, 0] = dq_scr[...].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
+                    dk_ref, dv_ref, dk_scr, dv_scr, *, scale: float,
+                    q_len: int, block_q: int, num_q_blocks: int):
+    q_idx = pl.program_id(3)
+
+    @pl.when(q_idx == 0)
+    def _init():
+        dk_scr[...] = jnp.zeros(dk_scr.shape, jnp.float32)
+        dv_scr[...] = jnp.zeros(dv_scr.shape, jnp.float32)
+
+    q = q_ref[0, 0]                # (bq, d)
+    k = k_ref[0, 0]                # (bk, d)
+    v = v_ref[0, 0]                # (bk, d)
+    do = do_ref[0, 0].astype(jnp.float32)
+    o = o_ref[0, 0].astype(jnp.float32)
+    lse = lse_ref[0, 0][:, 0:1]    # (bq, 1)
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    p = jnp.exp(s - lse)
+    if q_len % block_q != 0:
+        # padded q rows carry lse=0 garbage — zero their contribution
+        row = (jax.lax.broadcasted_iota(jnp.int32, p.shape, 0)
+               + q_idx * block_q)
+        p = jnp.where(row < q_len, p, 0.0)
+    # dv += p^T @ do   (contract over bq, no explicit transpose)
+    dv_scr[...] += jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    di = jnp.sum(do * o, axis=1, keepdims=True)
+    ds = p * (dp - di) * scale
+    # dk += ds^T @ q
+    dk_scr[...] += jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(q_idx == num_q_blocks - 1)
+    def _store():
+        dk_ref[0, 0] = dk_scr[...].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
+
+
+def _flash_bwd(q, k, v, o, lse, g, scale, block_q, block_k, interpret):
+    """FlashAttention-2 backward. q/k/v/o/g: (N, H, L, D); lse lane-replicated
+    (N, H, Lq_p, 128) from the forward. Returns (dq, dk, dv)."""
+    n, h, lq, d = q.shape
+    lk = k.shape[2]
+    pad_q = (-lq) % block_q
+    pad_k = (-lk) % block_k
+    if pad_q:
+        padq = ((0, 0), (0, 0), (0, pad_q), (0, 0))
+        q, o, g = jnp.pad(q, padq), jnp.pad(o, padq), jnp.pad(g, padq)
+    if pad_k:
+        padk = ((0, 0), (0, 0), (0, pad_k), (0, 0))
+        k, v = jnp.pad(k, padk), jnp.pad(v, padk)
+    lq_p, lk_p = lq + pad_q, lk + pad_k
+    num_q_blocks, num_kv_blocks = lq_p // block_q, lk_p // block_k
+
+    q_spec = pl.BlockSpec((1, 1, block_q, d), lambda n, h, a, b: (n, h, a, 0))
+    kv_spec_q = pl.BlockSpec((1, 1, block_k, d), lambda n, h, a, b: (n, h, b, 0))
+    lse_spec = pl.BlockSpec((1, 1, block_q, 128), lambda n, h, a, b: (n, h, a, 0))
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, scale=scale, kv_len=lk,
+                          block_k=block_k, num_kv_blocks=num_kv_blocks),
+        grid=(n, h, num_q_blocks, num_kv_blocks),
+        in_specs=[q_spec, kv_spec_q, kv_spec_q, q_spec, q_spec, lse_spec],
+        out_specs=q_spec,
+        out_shape=jax.ShapeDtypeStruct((n, h, lq_p, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * n * h * lq_p * lk_p * d,
+            bytes_accessed=(3 * q.size + 2 * k.size) * q.dtype.itemsize,
+            transcendentals=n * h * lq_p * lk_p,
+        ),
+        interpret=interpret,
+    )(q, k, v, g, o, lse)
+
+    # dkv sweep: kv blocks outer ("parallel"), q blocks inner accumulation
+    q_spec_i = pl.BlockSpec((1, 1, block_q, d), lambda n, h, a, b: (n, h, b, 0))
+    kv_spec = pl.BlockSpec((1, 1, block_k, d), lambda n, h, a, b: (n, h, a, 0))
+    lse_spec_i = pl.BlockSpec((1, 1, block_q, 128),
+                              lambda n, h, a, b: (n, h, b, 0))
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, scale=scale, q_len=lq,
+                          block_q=block_q, num_q_blocks=num_q_blocks),
+        grid=(n, h, num_kv_blocks, num_q_blocks),
+        in_specs=[q_spec_i, kv_spec, kv_spec, q_spec_i, q_spec_i, lse_spec_i],
+        out_specs=[kv_spec, kv_spec],
+        out_shape=[jax.ShapeDtypeStruct((n, h, lk_p, d), k.dtype),
+                   jax.ShapeDtypeStruct((n, h, lk_p, d), v.dtype)],
+        scratch_shapes=[pltpu.VMEM((block_k, d), jnp.float32),
+                        pltpu.VMEM((block_k, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * n * h * lq_p * lk_p * d,
+            bytes_accessed=(3 * q.size + 2 * k.size) * q.dtype.itemsize,
+            transcendentals=n * h * lq_p * lk_p,
+        ),
+        interpret=interpret,
+    )(q, k, v, g, o, lse)
+
+    if pad_q:
+        dq = dq[:, :, :lq]
+    if pad_k:
+        dk, dv = dk[:, :, :lk], dv[:, :, :lk]
+    return dq, dk, dv
+
+
 def _vjp_fwd(q, k, v, scale, block_q, block_k, interpret):
-    out = _flash_fwd(q, k, v, scale, block_q, block_k, interpret)
-    return out, (q, k, v)
+    out, lse = _flash_fwd(q, k, v, scale, block_q, block_k, interpret,
+                          save_lse=True)
+    return out, (q, k, v, out, lse)
 
 
 def _vjp_bwd(scale, block_q, block_k, interpret, res, g):
-    q, k, v = res
-    _, vjp = jax.vjp(lambda q_, k_, v_: _xla_ref(q_, k_, v_, scale), q, k, v)
-    return vjp(g)
+    q, k, v, o, lse = res
+    return _flash_bwd(q, k, v, o, lse, g, scale, block_q, block_k, interpret)
 
 
 _flash_attention_nhld.defvjp(_vjp_fwd, _vjp_bwd)

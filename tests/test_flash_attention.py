@@ -36,11 +36,14 @@ def test_flash_extra_batch_dims():
     np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
 
 
-def test_flash_grad_matches_xla():
+@pytest.mark.parametrize("lq,lk", [(256, 256), (320, 320), (640, 77),
+                                   (2560, 2560)])
+def test_flash_grad_matches_xla(lq, lk):
+    """dq/dkv Pallas kernels (incl. padded q/kv tails) vs XLA autodiff."""
     rng = np.random.default_rng(2)
-    q = jnp.asarray(rng.standard_normal((1, 256, 1, 32)).astype(np.float32))
-    k = jnp.asarray(rng.standard_normal((1, 256, 1, 32)).astype(np.float32))
-    v = jnp.asarray(rng.standard_normal((1, 256, 1, 32)).astype(np.float32))
+    q = jnp.asarray(rng.standard_normal((1, lq, 2, 32)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((1, lk, 2, 32)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((1, lk, 2, 32)).astype(np.float32))
 
     def loss_flash(q, k, v):
         return jnp.sum(flash_attention(q, k, v, interpret=True) ** 2)
