@@ -62,6 +62,59 @@ def use_mesh(mesh: Optional[Mesh]):
         _state.mesh = prev
 
 
+def zero_spec(shape, mesh: Mesh, axis: str = DATA_AXIS) -> P:
+    """ZeRO-style partition spec: shard the largest dimension divisible by
+    the dp axis; scalars / indivisible leaves stay replicated.
+
+    The reference's default training strategy is DDPSharded (fairscale
+    ZeRO-2: gradients + optimizer state sharded over data-parallel ranks,
+    main/utils_train.py:126-128, README.md:358). The XLA equivalent: give
+    the AdamW moments (and EMA shadow) this sharding and the SPMD
+    partitioner turns the gradient all-reduce into reduce-scatter + the
+    update into a per-shard computation.
+    """
+    n = mesh.shape[axis]
+    spec = [None] * len(shape)
+    if n > 1 and shape:
+        # largest shardable dim wins; ties -> earliest
+        cands = [(d, i) for i, d in enumerate(shape) if d % n == 0 and d >= n]
+        if cands:
+            _, best = max(cands, key=lambda t: (t[0], -t[1]))
+            spec[best] = axis
+    return P(*spec)
+
+
+def zero_shardings(tree, mesh: Mesh, axis: str = DATA_AXIS):
+    """Matching pytree of NamedShardings for ZeRO sharding over `axis`."""
+    return jax.tree_util.tree_map(
+        lambda x: NamedSharding(mesh, zero_spec(getattr(x, "shape", ()),
+                                                mesh, axis)), tree)
+
+
+def sharded_over(leaf, axis: str = DATA_AXIS) -> bool:
+    """True if an array's sharding partitions some dimension over `axis`."""
+    sh = getattr(leaf, "sharding", None)
+    spec = getattr(sh, "spec", None)
+    if spec is None:
+        return False
+    for entry in spec:
+        if entry == axis or (isinstance(entry, tuple) and axis in entry):
+            return True
+    return False
+
+
+def constrain_zero(tree, axis: str = DATA_AXIS):
+    """with_sharding_constraint the whole tree to its ZeRO shardings
+    (no-op without an active mesh)."""
+    mesh = active_mesh()
+    if mesh is None or mesh.shape.get(axis, 1) == 1:
+        return tree
+    return jax.tree_util.tree_map(
+        lambda x: jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, zero_spec(getattr(x, "shape", ()),
+                                             mesh, axis))), tree)
+
+
 def constrain(x: jax.Array, *spec) -> jax.Array:
     """Apply a sharding constraint if a mesh is active; else identity.
 

@@ -24,7 +24,9 @@ import jax.numpy as jnp
 import optax
 
 from dynamicrafter_tpu.models.vae import AutoencoderKL, DiagonalGaussian
-from dynamicrafter_tpu.parallel.sharding import DATA_AXIS, constrain
+from dynamicrafter_tpu.parallel.sharding import (
+    DATA_AXIS, constrain, constrain_zero,
+)
 from dynamicrafter_tpu.training.ema import ema_init, ema_update
 
 
@@ -69,6 +71,19 @@ def create_train_state(trainable_params: Any, cfg: TrainConfig,
         opt_state=tx.init(trainable_params),
         ema_params=ema_init(trainable_params) if cfg.use_ema else None,
     )
+    from dynamicrafter_tpu.parallel.sharding import (
+        active_mesh, zero_shardings,
+    )
+    mesh = active_mesh()
+    if mesh is not None and mesh.shape.get(DATA_AXIS, 1) > 1:
+        # place moments/EMA ZeRO-sharded from step 0 (avoids a replicated
+        # HBM peak before the first train_step reshards them)
+        state = state.replace(
+            opt_state=jax.device_put(
+                state.opt_state, zero_shardings(state.opt_state, mesh)),
+            ema_params=(jax.device_put(
+                state.ema_params, zero_shardings(state.ema_params, mesh))
+                if state.ema_params is not None else None))
     return state, tx
 
 
@@ -205,11 +220,17 @@ def make_train_step(pipe, cfg: TrainConfig, tx: optax.GradientTransformation):
             state.params, frozen, batch, rng)
         metrics["grad_norm"] = optax.global_norm(grads)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        # ZeRO-2 equivalent (reference default DDPSharded,
+        # main/utils_train.py:126-128): AdamW moments + EMA shadow sharded
+        # over dp — XLA reduce-scatters grads into the sharded update and
+        # all-gathers only the applied param delta
+        new_opt = constrain_zero(new_opt)
         new_params = optax.apply_updates(state.params, updates)
         new_ema = state.ema_params
         if new_ema is not None:
             new_ema = ema_update(new_ema, new_params, state.step,
                                  cfg.ema_decay)
+            new_ema = constrain_zero(new_ema)
         return state.replace(step=state.step + 1, params=new_params,
                              opt_state=new_opt, ema_params=new_ema), metrics
 

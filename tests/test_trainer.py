@@ -85,6 +85,38 @@ def test_train_step_multidevice_dp(pipe):
     assert np.isfinite(float(m["loss"]))
 
 
+def test_opt_state_zero_sharded_over_dp(pipe):
+    """AdamW moments + EMA shadow come out of the train step sharded over dp
+    (ZeRO-2 equivalent of the reference's default DDPSharded strategy,
+    main/utils_train.py:126-128)."""
+    from dynamicrafter_tpu.parallel.sharding import sharded_over
+
+    mesh = create_mesh(dp=4, sp=2)
+    cfg = TrainConfig(learning_rate=1e-3, parameterization="v", remat=False,
+                      use_ema=True)
+    trainable = {"unet": pipe.params["unet"]}
+    frozen = {k: v for k, v in pipe.params.items() if k != "unet"}
+    with use_mesh(mesh):
+        state, tx = create_train_state(trainable, cfg)
+        # init placement is already sharded
+        init_sharded = [l for l in jax.tree_util.tree_leaves(state.opt_state)
+                        if sharded_over(l)]
+        assert init_sharded, "opt state not ZeRO-sharded at init"
+        step = make_train_step(pipe, cfg, tx)
+        state1, m = jax.jit(step)(state, frozen, _batch(pipe),
+                                  jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["loss"]))
+
+    def sharded_leaves(tree):
+        return [l for l in jax.tree_util.tree_leaves(tree)
+                if sharded_over(l)]
+
+    assert sharded_leaves(state1.opt_state), \
+        "opt state not ZeRO-sharded after a step"
+    assert sharded_leaves(state1.ema_params), \
+        "EMA shadow not ZeRO-sharded after a step"
+
+
 def test_accumulation_and_clipping(pipe):
     cfg = TrainConfig(learning_rate=1e-3, accumulate_grad_batches=2,
                       grad_clip=0.5, use_ema=False, remat=False)
