@@ -111,39 +111,141 @@ def _resize_center_crop_f(img: np.ndarray, size) -> np.ndarray:
     return img[top:top + th, left:left + tw]
 
 
-def launch_app(resolution: str = "320_512", ckpt_path: Optional[str] = None,
-               random_init: bool = False, **launch_kwargs):
-    """Build + launch the gradio demo (gradio_app.py:38-181 equivalent)."""
-    try:
-        import gradio as gr
-    except ImportError as e:
-        raise ImportError(
-            "gradio is not installed in this environment; the Image2Video "
-            "backend remains usable programmatically") from e
-
-    backend = Image2Video(resolution=resolution, ckpt_path=ckpt_path,
-                          random_init=random_init)
+def _example_rows(resolution: str):
+    """Example rows [image, prompt, steps, cfg, eta, fs, seed] from the
+    repo prompt assets (reference gradio_app.py:8-34 ships per-resolution
+    example tables; we derive them from prompts/<res>/)."""
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    res_dir = resolution.split("_")[-1]
+    d = os.path.join(repo_root, "prompts", res_dir)
     spec = RESOLUTIONS[resolution]
+    rows = []
+    if os.path.isdir(d):
+        for fn in sorted(os.listdir(d)):
+            if fn.lower().endswith((".png", ".jpg", ".jpeg")):
+                stem = os.path.splitext(fn)[0]
+                txt = os.path.join(d, stem + ".txt")
+                if os.path.exists(txt):
+                    prompt = open(txt).read().strip()
+                else:
+                    pf = os.path.join(d, "prompts.txt")
+                    prompt = (open(pf).read().strip().splitlines() or [""])[0] \
+                        if os.path.exists(pf) else ""
+                rows.append([os.path.join(d, fn), prompt, 50, 7.5, 1.0,
+                             spec["fs"], 123])
+    return rows
 
-    with gr.Blocks() as demo:
-        gr.Markdown("## DynamiCrafter-TPU — image to video")
+
+def launch_app(resolution: str = "320_512", ckpt_path: Optional[str] = None,
+               random_init: bool = False, gr_module=None, launch: bool = True,
+               **launch_kwargs):
+    """Build + launch the gradio demo.
+
+    Reference surface: gradio_app.py:38-181 (per-resolution i2v tab with
+    Examples + random-seed button) plus the interp/loop application backends
+    (scripts/gradio/i2v_test_application.py) exposed as two more tabs.
+    gr_module/launch exist for UI-construction tests without gradio.
+    """
+    if gr_module is None:
+        try:
+            import gradio as gr_module
+        except ImportError as e:
+            raise ImportError(
+                "gradio is not installed in this environment; the "
+                "Image2Video backend remains usable programmatically") from e
+    gr = gr_module
+
+    spec = RESOLUTIONS[resolution]
+    backends = {}
+
+    def get_backend(mode):
+        if mode not in backends:
+            backends[mode] = Image2Video(resolution=resolution,
+                                         ckpt_path=ckpt_path,
+                                         random_init=random_init, mode=mode)
+        return backends[mode]
+
+    max_seed = 2 ** 31
+    motion_label = ("FPS" if resolution == "576_1024" else
+                    "Motion magnitude" if resolution == "256_256" else "FPS")
+
+    def build_controls():
+        prompt = gr.Textbox(label="Prompts")
         with gr.Row():
-            with gr.Column():
-                image = gr.Image(label="input image")
-                prompt = gr.Textbox(label="prompt")
-                steps = gr.Slider(1, 60, value=50, step=1, label="steps")
-                cfg = gr.Slider(1.0, 15.0, value=7.5, step=0.5, label="cfg")
-                eta = gr.Slider(0.0, 1.0, value=1.0, step=0.1, label="eta")
-                fs = gr.Slider(spec["fs_min"], spec["fs_max"], value=spec["fs"],
-                               step=1, label="motion (fs)")
-                seed = gr.Slider(0, 2 ** 31 - 1, value=123, step=1,
-                                 label="seed")
-                go = gr.Button("Generate")
-            with gr.Column():
-                video = gr.Video(label="result")
-        go.click(
-            lambda im, p, st, cf, et, f, sd: backend.get_image(
-                im, p, int(st), float(cf), float(et), int(f), int(sd)),
-            inputs=[image, prompt, steps, cfg, eta, fs, seed],
-            outputs=[video])
+            eta = gr.Slider(0.0, 1.0, value=1.0, step=0.1, label="ETA")
+            cfg = gr.Slider(1.0, 15.0, value=7.5, step=0.5, label="CFG Scale")
+        with gr.Row():
+            steps = gr.Slider(1, 60, value=50, step=1, label="Sampling steps")
+            fs = gr.Slider(spec["fs_min"], spec["fs_max"], value=spec["fs"],
+                           step=1, label=motion_label)
+        with gr.Row():
+            seed = gr.Slider(0, max_seed, value=123, step=1,
+                             label="Random Seed")
+            rnd = gr.Button("\U0001f3b2️")
+        import random as _random
+        rnd.click(fn=lambda: _random.randint(0, max_seed), outputs=seed,
+                  queue=False)
+        return prompt, steps, cfg, eta, fs, seed
+
+    h, w = spec["height"], spec["width"]
+    with gr.Blocks() as demo:
+        gr.Markdown("## DynamiCrafter-TPU — animating open-domain images "
+                    "with video diffusion priors")
+
+        with gr.Tab(label=f"Image2Video_{h}x{w}"):
+            with gr.Row():
+                with gr.Column():
+                    image = gr.Image(label="Input Image")
+                    prompt, steps, cfg, eta, fs, seed = build_controls()
+                    go = gr.Button("Generate")
+                with gr.Column():
+                    video = gr.Video(label="Generated Video", autoplay=True)
+            examples = _example_rows(resolution)
+            if examples:
+                gr.Examples(examples=examples,
+                            inputs=[image, prompt, steps, cfg, eta, fs, seed],
+                            outputs=[video],
+                            fn=lambda *a: _run(get_backend("i2v"), *a),
+                            cache_examples=False)
+            go.click(lambda *a: _run(get_backend("i2v"), *a),
+                     inputs=[image, prompt, steps, cfg, eta, fs, seed],
+                     outputs=[video])
+
+        with gr.Tab(label=f"Interpolation_{h}x{w}"):
+            with gr.Row():
+                with gr.Column():
+                    image_a = gr.Image(label="First Frame")
+                    image_b = gr.Image(label="Last Frame")
+                    (prompt2, steps2, cfg2, eta2, fs2, seed2) = build_controls()
+                    go2 = gr.Button("Generate")
+                with gr.Column():
+                    video2 = gr.Video(label="Generated Video", autoplay=True)
+            go2.click(lambda im, im2, *a: _run(get_backend("interp"), im, *a,
+                                               image2=im2),
+                      inputs=[image_a, image_b, prompt2, steps2, cfg2, eta2,
+                              fs2, seed2],
+                      outputs=[video2])
+
+        with gr.Tab(label=f"Looping_{h}x{w}"):
+            with gr.Row():
+                with gr.Column():
+                    image3 = gr.Image(label="Input Image")
+                    (prompt3, steps3, cfg3, eta3, fs3, seed3) = build_controls()
+                    go3 = gr.Button("Generate")
+                with gr.Column():
+                    video3 = gr.Video(label="Generated Video", autoplay=True)
+            # loop mode: first frame is also the last (drop-last on output,
+            # i2v_test_application.py:104-105)
+            go3.click(lambda im, *a: _run(get_backend("loop"), im, *a,
+                                          image2=im),
+                      inputs=[image3, prompt3, steps3, cfg3, eta3, fs3, seed3],
+                      outputs=[video3])
+
+    if not launch:
+        return demo
     return demo.launch(**launch_kwargs)
+
+
+def _run(backend, image, prompt, steps, cfg, eta, fs, seed, image2=None):
+    return backend.get_image(image, prompt, int(steps), float(cfg),
+                             float(eta), int(fs), int(seed), image2=image2)

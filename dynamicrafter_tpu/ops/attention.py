@@ -79,6 +79,30 @@ def xla_attention(
     return out.astype(q.dtype)
 
 
+def _use_small_t(q, k, v, mask, backend: str) -> bool:
+    """Packed small-T kernel: temporal self-attention (T<=32, no mask).
+    Packs 128//T positions per MXU tile — the XLA path wastes 8x lane
+    occupancy at T=16 on thousands of tiny (T, T) matmuls."""
+    if backend == "xla" or mask is not None:
+        return False
+    if q.shape != k.shape or q.shape != v.shape:
+        return False  # self-attention only
+    t = q.shape[-3]
+    if t > 32 or 128 % t != 0 or q.ndim < 4:
+        return False
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except RuntimeError:
+        on_tpu = False
+    if not on_tpu and backend != "flash":
+        return False
+    # only worth it with many positions per head
+    g = 1
+    for s in q.shape[:-3]:
+        g *= s
+    return g >= 256
+
+
 def dot_product_attention(
     q: jax.Array,
     k: jax.Array,
@@ -88,6 +112,10 @@ def dot_product_attention(
     backend: Optional[str] = None,
 ) -> jax.Array:
     backend = backend or _BACKEND
+    if _use_small_t(q, k, v, mask, backend):
+        from dynamicrafter_tpu.ops.small_attention import small_t_attention
+
+        return small_t_attention(q, k, v, scale=scale)
     # Shared context (e.g. text K/V common to all frames): insert size-1 axes
     # before (L, H, D); einsum broadcasts without materializing the tile.
     while k.ndim < q.ndim:

@@ -1,0 +1,140 @@
+"""Pallas TPU kernel for tiny-sequence (temporal) self-attention.
+
+DynamiCrafter's temporal attention runs T=16-token self-attention at every
+spatial position (reference lvdm/modules/attention.py:365-412). As batched
+XLA einsums the (T, T) logit tiles put 16 elements on the 128-lane axis —
+8x lane waste, thousands of tiny matmuls. This kernel packs P = 128//T
+positions into one (P*T, P*T) MXU tile and masks the block-diagonal, so the
+softmax runs on full 128-lane rows and the matmuls are 128-wide. The extra
+(P-1)/P of the tile is wasted FLOPs, but temporal attention is bandwidth-
+bound (~0.8 GFLOP total at 320x512), so full-tile MXU work is free.
+
+Forward-only Pallas; backward goes through the XLA reference (the logits
+matrix is (T, T) — tiny) via custom_vjp.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def _kernel(q_ref, k_ref, v_ref, o_ref, *, t: int, p: int, rb: int,
+            scale: float):
+    d = q_ref.shape[-1]
+    pt = p * t
+    # static row mask shared by every tile
+    row = jax.lax.broadcasted_iota(jnp.int32, (pt, pt), 0) // t
+    col = jax.lax.broadcasted_iota(jnp.int32, (pt, pt), 1) // t
+    diag = row == col
+    # rb position-tiles per program amortize grid/dispatch overhead
+    for r in range(rb):
+        sl = slice(r * p, (r + 1) * p)
+        q = q_ref[0, sl].reshape(pt, d)
+        k = k_ref[0, sl].reshape(pt, d)
+        v = v_ref[0, sl].reshape(pt, d)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale    # (pt, pt)
+        # block-diagonal: row i attends only within its position's T block
+        s = jnp.where(diag, s, _NEG_INF)
+        m = jnp.max(s, axis=1, keepdims=True)
+        e = jnp.exp(s - m)
+        att = e / jnp.sum(e, axis=1, keepdims=True)
+        o = jax.lax.dot(att.astype(v.dtype), v,
+                        preferred_element_type=jnp.float32)
+        o_ref[0, sl] = o.reshape(p, t, d).astype(o_ref.dtype)
+
+
+def _small_t_fwd(q, k, v, scale, interpret, rb: int = 16):
+    """q, k, v: (G, T, H, D) self-attention over T per (G, H).
+
+    Internally transposed to (H, G, T, D): Pallas TPU block shapes must have
+    their last two dims divisible by (8, 128) or equal to the array dims, so
+    heads can't be a sliced middle axis — they become the leading grid dim.
+    """
+    g, t, h, d = q.shape
+    p = max(1, 128 // t)
+    while p * rb > max(g, p):
+        rb //= 2
+    ppb = p * rb
+    pad_g = (-g) % ppb
+    tr = lambda x: x.transpose(2, 0, 1, 3)   # (G,T,H,D) -> (H,G,T,D)
+    q, k, v = tr(q), tr(k), tr(v)
+    if pad_g:
+        padg = ((0, 0), (0, pad_g), (0, 0), (0, 0))
+        q, k, v = jnp.pad(q, padg), jnp.pad(k, padg), jnp.pad(v, padg)
+    gp = g + pad_g
+
+    spec = pl.BlockSpec((1, ppb, t, d), lambda hi, gi: (hi, gi, 0, 0))
+    out = pl.pallas_call(
+        functools.partial(_kernel, t=t, p=p, rb=rb, scale=scale),
+        grid=(h, gp // ppb),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((h, gp, t, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * gp * h * p * t * t * d,
+            bytes_accessed=4 * gp * t * h * d * q.dtype.itemsize,
+            transcendentals=gp * h * t * t * p,
+        ),
+        interpret=interpret,
+    )(q, k, v)
+    out = out.transpose(1, 2, 0, 3)          # back to (G, T, H, D)
+    if pad_g:
+        out = out[:g]
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _small_t_attention(q, k, v, scale, interpret):
+    return _small_t_fwd(q, k, v, scale, interpret)
+
+
+def _xla_ref(q, k, v, scale):
+    s = jnp.einsum("gqhd,gkhd->ghqk", q.astype(jnp.float32),
+                   k.astype(jnp.float32)) * scale
+    att = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("ghqk,gkhd->gqhd", att.astype(v.dtype), v).astype(q.dtype)
+
+
+def _vjp_fwd(q, k, v, scale, interpret):
+    return _small_t_fwd(q, k, v, scale, interpret), (q, k, v)
+
+
+def _vjp_bwd(scale, interpret, res, grad):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda a, b, c: _xla_ref(a, b, c, scale), q, k, v)
+    return vjp(grad)
+
+
+_small_t_attention.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def small_t_attention(q, k, v, scale=None, interpret=None):
+    """Self-attention over a small T axis. q/k/v: (..., T, H, D), identical
+    shapes; returns (..., T, H, D). Requires 128 % T == 0."""
+    t = q.shape[-3]
+    assert q.shape == k.shape == v.shape, "small-T path is self-attention only"
+    assert 128 % t == 0, f"T={t} must divide 128"
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    batch = q.shape[:-3]
+    g = 1
+    for s in batch:
+        g *= s
+    qr = q.reshape((g,) + q.shape[-3:])
+    kr = k.reshape((g,) + k.shape[-3:])
+    vr = v.reshape((g,) + v.shape[-3:])
+    out = _small_t_attention(qr, kr, vr, scale, interpret)
+    return out.reshape(q.shape)

@@ -119,7 +119,7 @@ class SampleLogger:
 
     def __init__(self, pipe, logdir: str, every_n_steps: int = 500,
                  sample_kwargs: Optional[dict] = None, max_samples: int = 2,
-                 fps: int = 8):
+                 fps: int = 8, to_tensorboard: bool = True):
         self.pipe = pipe
         self.dir = os.path.join(logdir, "samples")
         os.makedirs(self.dir, exist_ok=True)
@@ -130,6 +130,13 @@ class SampleLogger:
         self.kwargs.update(sample_kwargs or {})
         self.max_samples = max_samples
         self.fps = fps
+        self._tb = None
+        if to_tensorboard:
+            try:
+                from tensorboardX import SummaryWriter  # type: ignore
+                self._tb = SummaryWriter(os.path.join(logdir, "tb_samples"))
+            except ImportError:
+                self._tb = None
 
     def maybe_log(self, step: int, batch: Dict) -> None:
         if step % self.every != 0:
@@ -146,5 +153,13 @@ class SampleLogger:
             save_video(out.videos[i, 0],
                        os.path.join(self.dir, f"step{step:07d}_{i}.mp4"),
                        fps=self.fps)
+        if self._tb is not None:
+            # TensorBoard video summary (reference main/callbacks.py:31-55):
+            # (N, T, C, H, W) uint8
+            vids = np.clip((out.videos[:, 0] + 1.0) / 2.0, 0, 1)
+            vids = (vids * 255).astype(np.uint8).transpose(0, 1, 4, 2, 3)
+            self._tb.add_video("samples", vids, global_step=step,
+                               fps=self.fps)
+            self._tb.flush()
         mainlogger.info(f"[SampleLogger] wrote {out.videos.shape[0]} samples "
                         f"at step {step}")
