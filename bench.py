@@ -1,14 +1,21 @@
-"""Benchmark: 16-frame clips/min/chip at 320x512 (DDIM-50 + CFG + VAE decode).
+"""Benchmark: 16-frame clips/min/chip at 320x512 + e2e seconds at 576x1024.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "detail"}.
-Baseline: reference 320x512 inference = 20 s/clip on A100 (README.md:295)
-=> 3.0 clips/min. vs_baseline = ours / 3.0 (higher is better).
+Baselines (BASELINE.md, reference README.md:292-296 on A100):
+  320x512: 20 s/clip  => 3.0 clips/min; vs_baseline = ours / 3.0
+  576x1024: 75 s/clip (detail field vs_baseline_1024 = 75 / ours)
 
-Measures the REAL jitted 50-step DDIM lax.scan (batched 2-pass CFG through
-the full 512-architecture UNet, bf16) plus per-frame VAE decode, using
-chained-dependency timing (utils/timing.py) — naive dispatch timing reads ~0
-under tunneled TPU backends. Weights are zeros: identical FLOPs/memory to
-trained weights.
+Measures the REAL jitted pipeline stages with chained-dependency timing
+(utils/timing.py — naive dispatch timing reads ~0 under tunneled TPU
+backends):
+  * conditioning: CLIP text (cond+uncond) + CLIP vision + Resampler + VAE
+    encode of the conditioning frame (once per clip)
+  * 50-step DDIM lax.scan, batched 2-pass CFG at 512 / sequential CFG at
+    1024 (single-chip memory fallback), bf16
+  * per-frame VAE decode
+Weights are RANDOM bf16 (scale 0.02) — identical FLOPs/memory to trained
+weights, and random values keep XLA from algebraically simplifying dots the
+way all-zero constants could.
 """
 from __future__ import annotations
 
@@ -21,22 +28,72 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 STEPS = 50
 
 
-def _zero_params(module, *args, **kwargs):
+def _random_params(module, *args, **kwargs):
+    import functools
+
     import jax
     import jax.numpy as jnp
 
-    shapes = jax.eval_shape(module.init, jax.random.PRNGKey(0), *args, **kwargs)
-    # bf16 weight storage (norms too — zeros anyway): matches the deployed
-    # inference config and halves per-step weight bandwidth
-    return jax.tree_util.tree_map(
-        lambda s: jnp.zeros(s.shape, jnp.bfloat16), shapes)["params"]
+    init = module.init
+    if "method" in kwargs:  # non-array kwarg must be bound before eval_shape
+        init = functools.partial(init, method=kwargs.pop("method"))
+    shapes = jax.eval_shape(init, jax.random.PRNGKey(0), *args,
+                            **kwargs)["params"]
+    leaves, treedef = jax.tree_util.tree_flatten(shapes)
+    keys = jax.random.split(jax.random.PRNGKey(42), len(leaves))
+    vals = [jax.random.normal(k, s.shape, jnp.bfloat16) * 0.02
+            for k, s in zip(keys, leaves)]
+    return jax.tree_util.tree_unflatten(treedef, vals)
 
 
-def main():
-    import jax
+def _bench_conditioning(mc, b, h, w, dtype):
+    """Time the once-per-clip conditioning stage: CLIP text x2 (prompt +
+    null), CLIP vision + Resampler on the cond frame, VAE encode."""
     import jax.numpy as jnp
 
-    from dynamicrafter_tpu.config import ModelConfig
+    from dynamicrafter_tpu.models.clip import (
+        CLIPTextConfig, CLIPTextEncoder, CLIPVisionConfig, CLIPVisionEncoder,
+        clip_preprocess,
+    )
+    from dynamicrafter_tpu.models.resampler import Resampler, ResamplerConfig
+    from dynamicrafter_tpu.models.vae import AutoencoderKL, VAEConfig
+    from dynamicrafter_tpu.utils.timing import time_once
+
+    text = CLIPTextEncoder(CLIPTextConfig(**mc.clip_text), dtype=dtype)
+    vision = CLIPVisionEncoder(CLIPVisionConfig(**mc.clip_vision), dtype=dtype)
+    res = Resampler(ResamplerConfig.from_dict(mc.resampler), dtype=dtype)
+    vae = AutoencoderKL(VAEConfig.from_dict(mc.vae), dtype=dtype)
+
+    tokens = jnp.zeros((2 * b, 77), jnp.int32)
+    img = jnp.zeros((b, 8 * h, 8 * w, 3), dtype)
+    img_size = vision.config.image_size
+    px = jnp.zeros((b, img_size, img_size, 3), dtype)
+    n_patches = (img_size // vision.config.patch_size) ** 2 + 1
+
+    tparams = _random_params(text, tokens)
+    vparams = _random_params(vision, px)
+    rparams = _random_params(
+        res, jnp.zeros((b, n_patches, res.config.embedding_dim), dtype))
+    eparams = _random_params(vae, jnp.zeros((1, 64, 64, 3), dtype),
+                             method=AutoencoderKL.encode_moments)
+
+    def cond_stage(tp, vp, rp, ep, tokens, img):
+        txt = text.apply({"params": tp}, tokens)
+        pixels = clip_preprocess(img, img_size)
+        vis_tokens = vision.apply({"params": vp}, pixels.astype(dtype))
+        img_ctx = res.apply({"params": rp}, vis_tokens)
+        moments = vae.apply({"params": ep}, img,
+                            method=AutoencoderKL.encode_moments)
+        return txt, img_ctx, moments
+
+    return time_once(cond_stage, tparams, vparams, rparams, eparams,
+                     tokens, img, repeats=2)
+
+
+def _bench_resolution(mc, b, h, w, steps, dtype, sequential_cfg,
+                      with_conditioning):
+    import jax.numpy as jnp
+
     from dynamicrafter_tpu.models.unet3d import UNetConfig, UNetModel
     from dynamicrafter_tpu.models.vae import Decoder, VAEConfig
     from dynamicrafter_tpu.sampling.ddim import (
@@ -45,34 +102,14 @@ def main():
     from dynamicrafter_tpu import schedule as sched_lib
     from dynamicrafter_tpu.utils.timing import time_once
 
-    on_tpu = jax.default_backend() == "tpu"
-    dtype = jnp.bfloat16
-
-    if on_tpu:
-        cfg_path = os.path.join(os.path.dirname(__file__),
-                                "configs", "inference_512_v1.0.yaml")
-        mc = ModelConfig.from_yaml(cfg_path)
-        b, h, w = 1, 40, 64
-        n_img_tok = 16
-        metric = "clips_per_min_per_chip_320x512"
-        steps = STEPS
-    else:
-        from dynamicrafter_tpu.testing import TINY_MODEL_CONFIG
-
-        mc = ModelConfig(TINY_MODEL_CONFIG)
-        b, h, w = 1, 8, 8
-        n_img_tok = 4
-        metric = "clips_per_min_per_chip_320x512_CPU_FALLBACK"
-        steps = 4
-
     unet_cfg = UNetConfig.from_dict(mc.unet)
     vae_cfg = VAEConfig.from_dict(mc.vae)
     t_len = unet_cfg.temporal_length
     unet = UNetModel(unet_cfg, dtype=dtype)
+    n_img_tok = (mc.resampler or {}).get("num_queries", 16)
 
     zc = vae_cfg.z_channels
     x = jnp.zeros((b, t_len, h, w, zc), dtype)
-    ts0 = jnp.zeros((b,), jnp.int32)
     ctx_dim = unet_cfg.context_dim
     cond = CFGConditioning(
         context_text=jnp.zeros((2, b, 77, ctx_dim), dtype),
@@ -81,7 +118,7 @@ def main():
         fs=jnp.full((b,), 24, jnp.int32),
     )
     xfull = jnp.zeros((2 * b, t_len, h, w, 2 * zc), dtype)
-    uparams = _zero_params(
+    uparams = _random_params(
         unet, xfull, jnp.zeros((2 * b,), jnp.int32),
         context_text=jnp.zeros((2 * b, 77, ctx_dim), dtype),
         context_img=jnp.zeros((2 * b, t_len, n_img_tok, ctx_dim), dtype),
@@ -96,16 +133,19 @@ def main():
         schedule, num_steps=steps, discretize="uniform_trailing", eta=0.0)
     settings = SamplerSettings(
         steps=steps, discretize="uniform_trailing", eta=0.0, cfg_scale=7.5,
-        guidance_rescale=0.7, parameterization=mc.parameterization)
+        guidance_rescale=0.7, parameterization=mc.parameterization,
+        sequential_cfg=sequential_cfg)
 
     def unet_apply(p, xin, tsin, context_text, context_img, fs):
         return unet.apply({"params": p}, xin, tsin, context_text=context_text,
                           context_img=context_img, fs=fs)
 
-    # Serving configuration: weights baked as compile-time constants — XLA
-    # pre-formats weight layouts (~9% faster steps than arg-passed weights).
-    # Set BENCH_NO_BAKE=1 to measure the arg-passed variant instead.
-    bake = os.environ.get("BENCH_NO_BAKE", "0") != "1"
+    # Weights are passed as runtime args (the serving reality: weights live
+    # in HBM, one executable serves any checkpoint). Baking them as
+    # compile-time constants measured ~9% faster steps in round 1, but with
+    # RANDOM weights XLA must lower 2.9 GB of literal data — compile blows
+    # up from ~1 min to >30 min — so baking is opt-in (BENCH_BAKE=1).
+    bake = os.environ.get("BENCH_BAKE", "0") == "1"
     if bake:
         def full_scan(x0):
             model_fn = make_cfg_denoiser(unet_apply, uparams, cond, settings)
@@ -122,33 +162,78 @@ def main():
         scan_seconds = time_once(full_scan, uparams, x, repeats=2)
 
     decoder = Decoder(vae_cfg, dtype=dtype)
-    z1 = jnp.zeros((1, h, w, zc), dtype)
-    dparams = _zero_params(decoder, z1)
+    dparams = _random_params(decoder, jnp.zeros((1, h, w, zc), dtype))
 
-    def decode_16f(params, z):
+    def decode_1f(params, z):
         return decoder.apply({"params": params}, z)
 
-    decode_seconds = time_once(
-        decode_16f, dparams,
-        jnp.zeros((t_len, h, w, zc), dtype), repeats=2)
+    # per-frame decode (perframe_ae, reference ddpm3d.py:654-663); one frame
+    # timed, multiplied by T (frames are independent)
+    decode_seconds = t_len * time_once(
+        decode_1f, dparams, jnp.zeros((1, h, w, zc), dtype), repeats=2)
 
-    clip_seconds = scan_seconds + decode_seconds
+    cond_seconds = (_bench_conditioning(mc, b, h, w, dtype)
+                    if with_conditioning else 0.0)
+
+    return {
+        "cond_stage_s": round(cond_seconds, 3),
+        "ddim50_cfg_scan_s": round(scan_seconds, 3),
+        "unet_step_ms": round(scan_seconds / steps * 1000, 1),
+        "vae_decode_16f_s": round(decode_seconds, 3),
+        "e2e_clip_s": round(cond_seconds + scan_seconds + decode_seconds, 2),
+        "weights_baked": bake,
+        "sequential_cfg": sequential_cfg,
+    }
+
+
+def main():
+    import jax
+
+    from dynamicrafter_tpu.config import ModelConfig
+
+    on_tpu = jax.default_backend() == "tpu"
+    import jax.numpy as jnp
+    dtype = jnp.bfloat16
+    here = os.path.dirname(os.path.abspath(__file__))
+
+    if on_tpu:
+        mc512 = ModelConfig.from_yaml(
+            os.path.join(here, "configs", "inference_512_v1.0.yaml"))
+        d512 = _bench_resolution(mc512, 1, 40, 64, STEPS, dtype,
+                                 sequential_cfg=False, with_conditioning=True)
+        detail = dict(d512)
+        if os.environ.get("BENCH_SKIP_1024", "0") != "1":
+            mc1024 = ModelConfig.from_yaml(
+                os.path.join(here, "configs", "inference_1024_v1.0.yaml"))
+            d1024 = _bench_resolution(mc1024, 1, 72, 128, STEPS, dtype,
+                                      sequential_cfg=True,
+                                      with_conditioning=False)
+            detail["clip_1024_s"] = d1024["e2e_clip_s"] + d512["cond_stage_s"]
+            detail["unet_step_1024_ms"] = d1024["unet_step_ms"]
+            detail["vae_decode_1024_16f_s"] = d1024["vae_decode_16f_s"]
+            # A100 reference: 75 s/clip at 576x1024 (README.md:292-294)
+            detail["vs_baseline_1024"] = round(75.0 / detail["clip_1024_s"], 3)
+        metric = "clips_per_min_per_chip_320x512"
+    else:
+        from dynamicrafter_tpu.testing import TINY_MODEL_CONFIG
+
+        mc = ModelConfig(TINY_MODEL_CONFIG)
+        detail = _bench_resolution(mc, 1, 8, 8, 4, dtype,
+                                   sequential_cfg=False,
+                                   with_conditioning=False)
+        metric = "clips_per_min_per_chip_320x512_CPU_FALLBACK"
+
+    clip_seconds = detail["e2e_clip_s"]
     clips_per_min = 60.0 / clip_seconds
     baseline = 3.0  # A100 reference: 20 s/clip @ 320x512
+    detail["backend"] = jax.default_backend()
 
     print(json.dumps({
         "metric": metric,
         "value": round(clips_per_min, 3),
         "unit": "clips/min/chip",
         "vs_baseline": round(clips_per_min / baseline, 3),
-        "detail": {
-            "ddim50_cfg_scan_s": round(scan_seconds, 3),
-            "unet_step_ms": round(scan_seconds / steps * 1000, 1),
-            "vae_decode_16f_s": round(decode_seconds, 3),
-            "e2e_clip_s": round(clip_seconds, 2),
-            "weights_baked": bake,
-            "backend": jax.default_backend(),
-        },
+        "detail": detail,
     }))
 
 
