@@ -127,6 +127,7 @@ class SDSGuidancePipeline:
         fs: Optional[Sequence[int]] = None,
         init_latents: Optional[np.ndarray] = None,
         decode: bool = True,
+        debug_dir: Optional[str] = None,
     ) -> Dict[str, np.ndarray]:
         pipe, s = self.pipe, self.settings
         videos = jnp.asarray(videos, dtype=jnp.float32)
@@ -151,14 +152,93 @@ class SDSGuidancePipeline:
 
         losses = []
         n_chunks = max(1, s.num_steps // s.log_every)
+        dbg = _DebugWriter(debug_dir) if debug_dir else None
         for c in range(n_chunks):
             latents, opt_state, rng, chunk_losses = chunk(
                 latents, opt_state, rng, jnp.int32(c * s.log_every))
             losses.append(np.asarray(chunk_losses))
+            if dbg is not None:
+                dbg.step(c * s.log_every, pipe.decode_latents(latents))
         loss_curve = np.concatenate(losses)
 
         out = {"latents": np.asarray(latents), "loss_curve": loss_curve}
         if decode:
             frames = pipe.decode_latents(latents)
             out["videos"] = np.asarray(frames)
+        if dbg is not None:
+            dbg.finish(loss_curve, log_every=s.log_every)
+            out["debug_dir"] = debug_dir
         return out
+
+
+class _DebugWriter:
+    """Per-interval optimization dumps mirroring the reference debug tree
+    (guidance_pipeline.py:527-751): step_XXXXXX_{frame_00.png, frame.png,
+    video.mp4} per interval, an optimization_process.mp4 of mid-frames
+    across intervals, loss_curve.csv, and a loss_analysis.png multi-panel
+    (full log-curve / last-50 / change rate), matplotlib permitting."""
+
+    def __init__(self, root: str):
+        import os
+
+        self.root = root
+        self.debug = os.path.join(root, "debug")
+        self.process = os.path.join(root, "process")
+        os.makedirs(self.debug, exist_ok=True)
+        os.makedirs(self.process, exist_ok=True)
+        self._mid_frames = []
+
+    def step(self, step_idx: int, frames) -> None:
+        import os
+
+        from dynamicrafter_tpu.utils.video import save_video, to_uint8
+
+        vid = np.asarray(frames)[0]          # (T, H, W, 3) in [-1, 1]
+        u8 = to_uint8(vid)
+        base = os.path.join(self.debug, f"step_{step_idx:06d}")
+        try:
+            from PIL import Image
+
+            Image.fromarray(u8[0]).save(base + "_frame_00.png")
+            Image.fromarray(u8[len(u8) // 2]).save(base + "_frame.png")
+        except ImportError:
+            pass
+        save_video(vid, base + "_video.mp4")
+        self._mid_frames.append(vid[len(vid) // 2])
+
+    def finish(self, loss_curve: np.ndarray, log_every: int) -> None:
+        import os
+
+        from dynamicrafter_tpu.utils.video import save_video
+
+        if len(self._mid_frames) >= 2:
+            save_video(np.stack(self._mid_frames),
+                       os.path.join(self.process, "optimization_process.mp4"),
+                       fps=4)
+        with open(os.path.join(self.root, "loss_curve.csv"), "w") as f:
+            f.write("step,loss\n")
+            for i, v in enumerate(loss_curve):
+                f.write(f"{i},{float(v)}\n")
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except ImportError:
+            return
+        fig, axes = plt.subplots(1, 3, figsize=(15, 4))
+        axes[0].plot(loss_curve)
+        axes[0].set_yscale("log")
+        axes[0].set_title("Complete SDS Loss Curve")
+        tail = loss_curve[-50:]
+        axes[1].plot(range(len(loss_curve) - len(tail), len(loss_curve)), tail)
+        axes[1].set_title("Last 50 Steps")
+        if len(loss_curve) > 1:
+            axes[2].plot(np.diff(loss_curve))
+        axes[2].set_title("Loss Change Rate")
+        for ax in axes:
+            ax.grid(True)
+            ax.set_xlabel("Step")
+        fig.tight_layout()
+        fig.savefig(os.path.join(self.root, "loss_analysis.png"), dpi=100)
+        plt.close(fig)

@@ -34,6 +34,10 @@ def get_parser():
     p.add_argument("--savefps", type=int, default=10)
     p.add_argument("--random_init", action="store_true")
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--debug_dir", type=str, default=None,
+                   help="write per-interval debug dumps (step videos/frames, "
+                        "optimization_process.mp4, loss analysis) here — "
+                        "reference guidance_pipeline.py:527-751")
     return p
 
 
@@ -72,8 +76,10 @@ def main():
         video_frames=args.video_length)
     os.makedirs(args.savedir, exist_ok=True)
     for i, (name, prompt) in enumerate(zip(names, prompts)):
-        out = sds([prompt], videos[i:i + 1], seed=args.seed,
-                  fs=[fs])
+        out = sds([prompt], videos[i:i + 1], seed=args.seed, fs=[fs],
+                  debug_dir=(os.path.join(args.debug_dir,
+                                          os.path.splitext(name)[0])
+                             if args.debug_dir else None))
         import numpy as np
         assert np.all(np.isfinite(out["videos"])), "NaN in generated video"
         save_results_separate(out["videos"][:, None], [name], args.savedir,

@@ -35,6 +35,27 @@ def test_sds_runs_and_updates_latents(pipe, weight_type):
     assert np.all(np.isfinite(out["videos"]))
 
 
+def test_sds_debug_dumps(pipe, tmp_path):
+    """debug_dir writes the reference debug tree: per-interval step videos
+    + frames, optimization_process.mp4, loss_curve.csv, loss_analysis.png
+    (guidance_pipeline.py:527-751)."""
+    sds = SDSGuidancePipeline(pipe, SDSSettings(
+        num_steps=4, log_every=2, lr=0.05, cfg_scale=2.0,
+        ddim_grid_steps=4, timestep_spacing="uniform_trailing"))
+    vids = np.random.default_rng(0).uniform(
+        -1, 1, (1, 4, 16, 16, 3)).astype(np.float32)
+    out = sds(["a cat"], vids, seed=1, fs=[3], debug_dir=str(tmp_path / "d"))
+    assert out["debug_dir"] == str(tmp_path / "d")
+    dbg = os.listdir(tmp_path / "d" / "debug")
+    assert "step_000000_video.mp4" in dbg and "step_000002_video.mp4" in dbg
+    assert "step_000000_frame_00.png" in dbg and "step_000000_frame.png" in dbg
+    assert os.path.exists(tmp_path / "d" / "process" /
+                          "optimization_process.mp4")
+    lines = (tmp_path / "d" / "loss_curve.csv").read_text().splitlines()
+    assert lines[0] == "step,loss" and len(lines) == 5
+    assert os.path.exists(tmp_path / "d" / "loss_analysis.png")
+
+
 def test_inference_cli_smoke(tmp_path):
     """scripts/inference.py end-to-end on the tiny config + prompt dir."""
     import yaml
