@@ -9,6 +9,7 @@ the surrounding elementwise ops so the fp32 island costs no extra HBM traffic.
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -36,12 +37,22 @@ class GroupNorm(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
 
-        x32 = x.astype(jnp.float32)
-        grouped = x32.reshape(*x.shape[:-1], g, c // g)
+        # fp32 island WITHOUT materializing an fp32 activation: a shared
+        # x.astype(f32) consumed by three passes (mean, var, normalize) makes
+        # XLA write the full f32 tensor to HBM (measured: +50 GB/step at
+        # 320x512, f32 conv-patch tensors downstream). Instead each pass
+        # reads the bf16 activation and converts inside its own fusion:
+        # stats as two independent fp32-accumulated reductions
+        # (var = E[x^2] - E[x]^2), then one streaming normalize fusion.
+        grouped = x.reshape(*x.shape[:-1], g, c // g)
         axes = tuple(range(self.num_batch_axes, grouped.ndim - 2)) + (grouped.ndim - 1,)
-        mean = jnp.mean(grouped, axis=axes, keepdims=True)
-        var = jnp.mean(jnp.square(grouped - mean), axis=axes, keepdims=True)
-        normed = (grouped - mean) * jnp.reciprocal(jnp.sqrt(var + self.epsilon))
+        mean = jnp.mean(grouped.astype(jnp.float32), axis=axes, keepdims=True,
+                        dtype=jnp.float32)
+        meansq = jnp.mean(jnp.square(grouped.astype(jnp.float32)), axis=axes,
+                          keepdims=True, dtype=jnp.float32)
+        var = meansq - jnp.square(mean)
+        inv = jax.lax.rsqrt(jnp.maximum(var, 0.0) + self.epsilon)
+        normed = (grouped.astype(jnp.float32) - mean) * inv
         normed = normed.reshape(x.shape)
         out = normed * scale + bias
         return out.astype(orig_dtype)
