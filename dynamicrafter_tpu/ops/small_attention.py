@@ -11,6 +11,11 @@ bound (~0.8 GFLOP total at 320x512), so full-tile MXU work is free.
 
 Forward-only Pallas; backward goes through the XLA reference (the logits
 matrix is (T, T) — tiny) via custom_vjp.
+
+The kernel reads the natural (G, T, H*D) layout directly (heads as 64-lane
+value slices — compiles on this toolchain, saves the (G,T,H,D)->(H,G,T,D)
+transpose copies a head-major grid would need: measured ~0.7 ms per call
+at the 320x512 ds1 shape even with CSE'd q=k=v).
 """
 from __future__ import annotations
 
@@ -24,62 +29,63 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
-def _kernel(q_ref, k_ref, v_ref, o_ref, *, t: int, p: int, rb: int,
-            scale: float):
-    d = q_ref.shape[-1]
+def _kernel_v2(q_ref, k_ref, v_ref, o_ref, *, t: int, p: int, rb: int,
+               heads: int, d: int, scale: float):
+    """Transpose-free variant: blocks are (ppb, t, H*D) slices of the
+    natural (G, T, H*D) layout; heads are 64-lane VALUE slices in-kernel
+    (compiles on this toolchain; ref-slicing at 64-lane offsets does not).
+    Same (pt, pt) block-diagonal packing as _kernel, per head."""
     pt = p * t
-    # static row mask shared by every tile
     row = jax.lax.broadcasted_iota(jnp.int32, (pt, pt), 0) // t
     col = jax.lax.broadcasted_iota(jnp.int32, (pt, pt), 1) // t
     diag = row == col
-    # rb position-tiles per program amortize grid/dispatch overhead
     for r in range(rb):
         sl = slice(r * p, (r + 1) * p)
-        q = q_ref[0, sl].reshape(pt, d)
-        k = k_ref[0, sl].reshape(pt, d)
-        v = v_ref[0, sl].reshape(pt, d)
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale    # (pt, pt)
-        # block-diagonal: row i attends only within its position's T block
-        s = jnp.where(diag, s, _NEG_INF)
-        m = jnp.max(s, axis=1, keepdims=True)
-        e = jnp.exp(s - m)
-        att = e / jnp.sum(e, axis=1, keepdims=True)
-        o = jax.lax.dot(att.astype(v.dtype), v,
-                        preferred_element_type=jnp.float32)
-        o_ref[0, sl] = o.reshape(p, t, d).astype(o_ref.dtype)
+        q = q_ref[sl].reshape(pt, heads * d)
+        k = k_ref[sl].reshape(pt, heads * d)
+        v = v_ref[sl].reshape(pt, heads * d)
+        outs = []
+        for hh in range(heads):
+            lanes = slice(hh * d, (hh + 1) * d)
+            s = jax.lax.dot_general(
+                q[:, lanes], k[:, lanes], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            s = jnp.where(diag, s, _NEG_INF)
+            m = jnp.max(s, axis=1, keepdims=True)
+            e = jnp.exp(s - m)
+            att = e / jnp.sum(e, axis=1, keepdims=True)
+            outs.append(jax.lax.dot(att.astype(v.dtype), v[:, lanes],
+                                    preferred_element_type=jnp.float32))
+        o = jnp.concatenate(outs, axis=-1)
+        o_ref[sl] = o.reshape(p, t, heads * d).astype(o_ref.dtype)
 
 
-def _small_t_fwd(q, k, v, scale, interpret, rb: int = 16):
-    """q, k, v: (G, T, H, D) self-attention over T per (G, H).
-
-    Internally transposed to (H, G, T, D): Pallas TPU block shapes must have
-    their last two dims divisible by (8, 128) or equal to the array dims, so
-    heads can't be a sliced middle axis — they become the leading grid dim.
-    """
+def _small_t_fwd_v2(q, k, v, scale, interpret, rb: int = 16):
+    """q, k, v: (G, T, H, D). No data movement outside the kernel beyond a
+    free (G, T, H*D) reshape and G padding."""
     g, t, h, d = q.shape
     p = max(1, 128 // t)
     while p * rb > max(g, p):
         rb //= 2
     ppb = p * rb
     pad_g = (-g) % ppb
-    tr = lambda x: x.transpose(2, 0, 1, 3)   # (G,T,H,D) -> (H,G,T,D)
-    q, k, v = tr(q), tr(k), tr(v)
+    re = lambda x: x.reshape(g, t, h * d)
+    q, k, v = re(q), re(k), re(v)
     if pad_g:
-        padg = ((0, 0), (0, pad_g), (0, 0), (0, 0))
+        padg = ((0, pad_g), (0, 0), (0, 0))
         q, k, v = jnp.pad(q, padg), jnp.pad(k, padg), jnp.pad(v, padg)
     gp = g + pad_g
 
-    spec = pl.BlockSpec((1, ppb, t, d), lambda hi, gi: (hi, gi, 0, 0))
+    spec = pl.BlockSpec((ppb, t, h * d), lambda gi: (gi, 0, 0))
     out = pl.pallas_call(
-        functools.partial(_kernel, t=t, p=p, rb=rb, scale=scale),
-        grid=(h, gp // ppb),
+        functools.partial(_kernel_v2, t=t, p=p, rb=rb, heads=h, d=d,
+                          scale=scale),
+        grid=(gp // ppb,),
         in_specs=[spec, spec, spec],
         out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((h, gp, t, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((gp, t, h * d), q.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
+            dimension_semantics=("parallel",),
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * gp * h * p * t * t * d,
@@ -88,15 +94,14 @@ def _small_t_fwd(q, k, v, scale, interpret, rb: int = 16):
         ),
         interpret=interpret,
     )(q, k, v)
-    out = out.transpose(1, 2, 0, 3)          # back to (G, T, H, D)
     if pad_g:
         out = out[:g]
-    return out
+    return out.reshape(g, t, h, d)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def _small_t_attention(q, k, v, scale, interpret):
-    return _small_t_fwd(q, k, v, scale, interpret)
+    return _small_t_fwd_v2(q, k, v, scale, interpret)
 
 
 def _xla_ref(q, k, v, scale):
@@ -107,7 +112,7 @@ def _xla_ref(q, k, v, scale):
 
 
 def _vjp_fwd(q, k, v, scale, interpret):
-    return _small_t_fwd(q, k, v, scale, interpret), (q, k, v)
+    return _small_t_fwd_v2(q, k, v, scale, interpret), (q, k, v)
 
 
 def _vjp_bwd(scale, interpret, res, grad):
