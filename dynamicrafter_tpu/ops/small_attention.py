@@ -67,6 +67,10 @@ def _small_t_fwd_v2(q, k, v, scale, interpret, rb: int = 16):
     p = max(1, 128 // t)
     while p * rb > max(g, p):
         rb //= 2
+    # blocks now span all heads; keep q/k/v/out blocks + double buffering
+    # under the ~19 MB scoped-VMEM limit (observed OOM at hd=512, rb=16)
+    while rb > 1 and p * rb * t * h * d * q.dtype.itemsize * 8 > 12 * 2 ** 20:
+        rb //= 2
     ppb = p * rb
     pad_g = (-g) % ppb
     re = lambda x: x.reshape(g, t, h * d)
