@@ -55,6 +55,20 @@ def test_small_t_grad_matches_xla():
                                    atol=1e-4, rtol=1e-3)
 
 
+def test_small_t_wide_heads_vmem_path():
+    """hd=512 (init_attn at 1024-res) triggers the adaptive row-block
+    reduction that keeps blocks under the scoped-VMEM limit; output must
+    be unchanged."""
+    rng = np.random.default_rng(5)
+    shape = (160, 16, 8, 64)   # h*d = 512
+    q = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    ref = np.asarray(xla_attention(q, k, v))
+    out = np.asarray(small_t_attention(q, k, v, interpret=True))
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
+
+
 def test_dispatch_selects_small_t(monkeypatch):
     """dot_product_attention routes qualifying temporal shapes to the packed
     kernel (forced via backend='flash' off-TPU)."""
