@@ -41,6 +41,9 @@ def get_parser():
     p.add_argument("--sp", type=int, default=1, help="frame/seq axis")
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--synthetic_data", action="store_true")
+    p.add_argument("--loader", choices=["threads", "grain"], default="threads",
+                   help="input pipeline: in-process decode threads or Grain "
+                        "worker processes (multi-host IO)")
     p.add_argument("--log_every", type=int, default=50)
     p.add_argument("--sample_every", type=int, default=0,
                    help="0 disables sample logging")
@@ -207,11 +210,14 @@ def main():
 
     tr = data_cfg.get("train", {}).get("params", {})
     dataset = build_dataset(tr, "train")
-    loader = DataLoader(dataset, batch_size=bs, tokenizer=pipe.tokenizer,
-                        seed=args.seed, num_workers=num_workers,
-                        fs_key=fs_key,
-                        shard_id=jax.process_index(),
-                        num_shards=jax.process_count())
+    from dynamicrafter_tpu.data.grain_loader import make_loader
+
+    loader = make_loader(args.loader, dataset, batch_size=bs,
+                         tokenizer=pipe.tokenizer,
+                         seed=args.seed, num_workers=num_workers,
+                         fs_key=fs_key,
+                         shard_id=jax.process_index(),
+                         num_shards=jax.process_count())
 
     # real validation split (reference main/utils_data.py:44-136 builds a
     # val loader; validating on the train batch is meaningless)
@@ -219,12 +225,12 @@ def main():
     if args.val_every:
         va = data_cfg.get("validation", {}).get("params", {})
         val_dataset = build_dataset(va or tr, "validation")
-        val_loader = DataLoader(val_dataset, batch_size=bs,
-                                tokenizer=pipe.tokenizer,
-                                shuffle=False, seed=args.seed + 1,
-                                num_workers=num_workers, fs_key=fs_key,
-                                shard_id=jax.process_index(),
-                                num_shards=jax.process_count())
+        val_loader = make_loader(args.loader, val_dataset, batch_size=bs,
+                                 tokenizer=pipe.tokenizer,
+                                 shuffle=False, seed=args.seed + 1,
+                                 num_workers=num_workers, fs_key=fs_key,
+                                 shard_id=jax.process_index(),
+                                 num_shards=jax.process_count())
         val_iter = iter(val_loader)
 
     metrics_log = MetricLogger(workdir)

@@ -186,3 +186,59 @@ def test_train_cli_smoke(tmp_path):
     assert os.path.exists(tmp_path / "logs" / "smoke" / "metrics.csv")
     ckdir = tmp_path / "logs" / "smoke" / "checkpoints"
     assert any(os.scandir(ckdir)), "no checkpoint written"
+
+
+def test_grain_loader_matches_schema_and_shards():
+    """GrainDataLoader (process-worker pipeline option) yields the same
+    batch schema as DataLoader and shards records disjointly across hosts
+    (reference torch DataLoader num_workers processes equivalent)."""
+    from dynamicrafter_tpu.data.grain_loader import GrainDataLoader, make_loader
+    from dynamicrafter_tpu.utils.tokenizer import HashTokenizer
+
+    ds = SyntheticVideoDataset(video_length=4, resolution=(16, 16), size=12)
+    dl = GrainDataLoader(ds, batch_size=4, tokenizer=HashTokenizer(),
+                         num_workers=0, max_epochs=1, seed=0)
+    batches = list(dl)
+    assert len(batches) == 3
+    b = batches[0]
+    assert b["video"].shape == (4, 4, 16, 16, 3)
+    assert b["fs"].shape == (4,) and b["fs"].dtype == np.int32
+    assert len(b["captions"]) == 4 and isinstance(b["captions"][0], str)
+    assert b["tokens"].shape[0] == 4
+
+    def records(shard):
+        out = []
+        for bb in GrainDataLoader(ds, batch_size=2, num_workers=0,
+                                  max_epochs=1, seed=0, shuffle=False,
+                                  shard_id=shard, num_shards=2):
+            out.extend(np.asarray(bb["video"]).sum(axis=(1, 2, 3, 4)).tolist())
+        return out
+
+    r0, r1 = records(0), records(1)
+    assert len(r0) == 6 and len(r1) == 6
+    assert not set(r0) & set(r1)
+
+    # factory returns the thread loader for 'threads'
+    assert type(make_loader("threads", ds, batch_size=2)).__name__ == "DataLoader"
+
+
+def test_grain_loader_worker_processes():
+    """worker_count>0 spawns real processes; dataset must be picklable.
+    Grain shards the sampler stream across workers BEFORE batching, so
+    batch composition depends on worker count — but the record SET must be
+    identical (and the stream deterministic for a fixed count)."""
+    from dynamicrafter_tpu.data.grain_loader import GrainDataLoader
+
+    def record_sums(workers):
+        out = []
+        for b in GrainDataLoader(SyntheticVideoDataset(
+                video_length=4, resolution=(16, 16), size=8),
+                batch_size=2, num_workers=workers, max_epochs=1, seed=1):
+            out.extend(np.asarray(b["video"]).sum(axis=(1, 2, 3, 4)).round(3)
+                       .tolist())
+        return out
+
+    a, a2, c = record_sums(2), record_sums(2), record_sums(0)
+    assert len(a) == 8
+    assert a == a2                       # deterministic for fixed count
+    assert sorted(a) == sorted(c)        # same records either way
