@@ -29,12 +29,12 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
-def _kernel_v2(q_ref, k_ref, v_ref, o_ref, *, t: int, p: int, rb: int,
+def _kernel(q_ref, k_ref, v_ref, o_ref, *, t: int, p: int, rb: int,
                heads: int, d: int, scale: float):
-    """Transpose-free variant: blocks are (ppb, t, H*D) slices of the
-    natural (G, T, H*D) layout; heads are 64-lane VALUE slices in-kernel
-    (compiles on this toolchain; ref-slicing at 64-lane offsets does not).
-    Same (pt, pt) block-diagonal packing as _kernel, per head."""
+    """Blocks are (ppb, t, H*D) slices of the natural (G, T, H*D)
+    layout; heads are d-lane VALUE slices in-kernel (compiles on this
+    toolchain; ref-slicing at 64-lane offsets does not). Each row group
+    packs p positions into one (pt, pt) block-diagonal logits tile."""
     pt = p * t
     row = jax.lax.broadcasted_iota(jnp.int32, (pt, pt), 0) // t
     col = jax.lax.broadcasted_iota(jnp.int32, (pt, pt), 1) // t
@@ -60,7 +60,7 @@ def _kernel_v2(q_ref, k_ref, v_ref, o_ref, *, t: int, p: int, rb: int,
         o_ref[sl] = o.reshape(p, t, heads * d).astype(o_ref.dtype)
 
 
-def _small_t_fwd_v2(q, k, v, scale, interpret, rb: int = 16):
+def _small_t_fwd(q, k, v, scale, interpret, rb: int = 16):
     """q, k, v: (G, T, H, D). No data movement outside the kernel beyond a
     free (G, T, H*D) reshape and G padding."""
     g, t, h, d = q.shape
@@ -82,7 +82,7 @@ def _small_t_fwd_v2(q, k, v, scale, interpret, rb: int = 16):
 
     spec = pl.BlockSpec((ppb, t, h * d), lambda gi: (gi, 0, 0))
     out = pl.pallas_call(
-        functools.partial(_kernel_v2, t=t, p=p, rb=rb, heads=h, d=d,
+        functools.partial(_kernel, t=t, p=p, rb=rb, heads=h, d=d,
                           scale=scale),
         grid=(gp // ppb,),
         in_specs=[spec, spec, spec],
@@ -105,7 +105,7 @@ def _small_t_fwd_v2(q, k, v, scale, interpret, rb: int = 16):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def _small_t_attention(q, k, v, scale, interpret):
-    return _small_t_fwd_v2(q, k, v, scale, interpret)
+    return _small_t_fwd(q, k, v, scale, interpret)
 
 
 def _xla_ref(q, k, v, scale):
@@ -116,7 +116,7 @@ def _xla_ref(q, k, v, scale):
 
 
 def _vjp_fwd(q, k, v, scale, interpret):
-    return _small_t_fwd_v2(q, k, v, scale, interpret), (q, k, v)
+    return _small_t_fwd(q, k, v, scale, interpret), (q, k, v)
 
 
 def _vjp_bwd(scale, interpret, res, grad):
