@@ -488,6 +488,9 @@ def flash_attention(
     for s in batch_shape:
         n *= s
     round128 = lambda x: ((x + 127) // 128) * 128
+    if block_q == DEFAULT_BLOCK_Q and lq > 4096:
+        # profiled at L=9216 ×5h: bq=1024 25.1 ms vs bq=512 26.8 ms
+        block_q = 1024
     block_q = min(block_q, round128(lq))
     if lk <= 2560:
         # single-KV-block: skips all online-softmax correction passes
