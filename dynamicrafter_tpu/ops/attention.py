@@ -40,10 +40,12 @@ def _use_flash(q, k, mask, backend: str) -> bool:
         return True
     if not on_tpu or k.shape[-3] < 512:
         return False
-    # Measured on v5e (bf16, d=64): flash wins at L=2560/5h (10.6 vs 17.8 ms)
-    # and is mandatory at L=9216 (XLA OOMs); XLA wins at L=2304/10h.
-    lq, heads = q.shape[-3], q.shape[-2]
-    return lq >= 4096 or (lq >= 2048 and heads <= 8)
+    # Device-profiled on v5e (bf16, d=64, transpose-free layout): flash
+    # wins at L=2560/5h (4.0 vs 17.8 ms) and L=2304/10h (3.6 vs 7.1 ms),
+    # is mandatory at L=9216 (XLA OOMs); XLA wins at L=640/10h (1.15 vs
+    # 1.52 ms).
+    lq = q.shape[-3]
+    return lq >= 2048
 
 
 def xla_attention(
