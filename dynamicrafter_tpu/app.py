@@ -68,7 +68,7 @@ class Image2Video:
         from dynamicrafter_tpu.utils.video import save_video
 
         spec = self.spec
-        fs = fs or spec["fs"]
+        fs = spec["fs"] if fs is None else fs  # `or` would swallow fs=0
         t = self.pipe.unet_config.temporal_length or 16
 
         def prep(img):

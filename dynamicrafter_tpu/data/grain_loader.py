@@ -32,6 +32,12 @@ class GrainDataLoader:
         import grain.python as gp
 
         assert 0 <= shard_id < num_shards
+        shard_len = len(range(shard_id, len(dataset), num_shards))
+        if shard_len < batch_size:
+            raise ValueError(
+                f"shard {shard_id}/{num_shards} holds {shard_len} samples, "
+                f"fewer than batch_size={batch_size}; with drop_remainder "
+                f"the loader would never yield a batch.")
         self.dataset = dataset
         self.batch_size = batch_size
         self.tokenizer = tokenizer

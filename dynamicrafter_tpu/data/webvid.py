@@ -213,6 +213,16 @@ class DataLoader:
         self.shard_id = shard_id
         self.num_shards = num_shards
         self.max_epochs = max_epochs
+        # A shard smaller than one batch would make _index_batches yield
+        # nothing forever (max_epochs=None) — a silent hang at iter() time.
+        # Fail loudly at construction instead.
+        shard_len = len(range(shard_id, len(dataset), num_shards))
+        if shard_len < batch_size:
+            raise ValueError(
+                f"shard {shard_id}/{num_shards} holds {shard_len} samples, "
+                f"fewer than batch_size={batch_size}; the loader would "
+                f"never yield a batch. Use a smaller batch, fewer shards, "
+                f"or a bigger dataset split.")
 
     def _collate(self, samples: Sequence[Dict]) -> Dict[str, np.ndarray]:
         fs_dtype = (np.float32 if self.fs_key == "fps" else np.int32)

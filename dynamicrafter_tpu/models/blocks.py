@@ -25,6 +25,7 @@ import jax.numpy as jnp
 
 from dynamicrafter_tpu.ops.attention import dot_product_attention
 from dynamicrafter_tpu.ops.norms import GroupNorm
+from dynamicrafter_tpu.parallel.sharding import DATA_AXIS, SEQ_AXIS, constrain
 
 Context = Optional[Tuple[Optional[jax.Array], Optional[jax.Array]]]
 # (text_context (B, Lt, Cc), image_context (B, T, Li, Cc) or None)
@@ -282,8 +283,17 @@ class TemporalTransformer(nn.Module):
         inner = self.n_heads * self.d_head
         x_in = x
         x = GroupNorm(32, epsilon=1e-6, num_batch_axes=1, name="norm")(x)
-        # (B, T, H, W, C) -> (B, HW, T, C): the dp/sp reshard point
-        x = x.reshape(b, t, h * w, c).transpose(0, 2, 1, 3)
+        # (B, T, H, W, C) -> (B, HW, T, C): the dp/sp reshard point. Spatial
+        # stages carry T on 'sp'; here HW carries 'sp' and T is local. Both
+        # sides of the transpose are pinned so GSPMD places exactly one
+        # all-to-all AT the transpose — without the pre-transpose pin the
+        # HW:sp spec propagates backward through the reshape into an H/W
+        # split sharding that forces an involuntary full rematerialization
+        # inside the GroupNorm (observed SPMD-partitioner warning).
+        x = x.reshape(b, t, h * w, c)
+        x = constrain(x, DATA_AXIS, SEQ_AXIS, None, None)    # still T: sp
+        x = x.transpose(0, 2, 1, 3)
+        x = constrain(x, DATA_AXIS, SEQ_AXIS, None, None)    # now HW: sp
         x = nn.Dense(inner, name="proj_in", dtype=x.dtype, param_dtype=jnp.float32)(x)
 
         mask = None
@@ -301,7 +311,11 @@ class TemporalTransformer(nn.Module):
         x = nn.Dense(self.in_channels, name="proj_out",
                      kernel_init=nn.initializers.zeros,
                      dtype=x.dtype, param_dtype=jnp.float32)(x)
-        x = x.transpose(0, 2, 1, 3).reshape(b, t, h, w, c)
+        x = constrain(x, DATA_AXIS, SEQ_AXIS, None, None)    # HW: sp
+        x = x.transpose(0, 2, 1, 3)
+        x = constrain(x, DATA_AXIS, SEQ_AXIS, None, None)    # back to T: sp
+        x = x.reshape(b, t, h, w, c)
+        x = constrain(x, DATA_AXIS, SEQ_AXIS, None, None, None)
         return x + x_in
 
 

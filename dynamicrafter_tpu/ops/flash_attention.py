@@ -76,8 +76,13 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *rest,
         l_inv = jnp.where(l_final == 0.0, 1.0, 1.0 / l_final)
         o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
         if save_lse:
-            # fused residual for the backward: lse = m + log(l); padded q
-            # rows have l=0 -> write 0 (backward masks those rows anyway)
+            # fused residual for the backward: lse = m + log(l). Note
+            # zero-PADDED q rows still produce a finite, valid lse (s=0
+            # against real K columns -> m=0, l=#real cols), so no special
+            # case is needed for them; the l==0 guard below only protects
+            # the log against a degenerate all-masked row, which cannot
+            # occur with kv_len >= 1. Both backward kernels additionally
+            # slice/mask padded q rows, so their lse is never consumed.
             lse = jnp.where(l_scr[...] == 0.0, 0.0,
                             m_scr[...] + jnp.log(jnp.maximum(l_scr[...],
                                                              1e-38)))
@@ -261,34 +266,31 @@ def _flash_attention_nlhd(q, k, v, heads, scale, block_q, block_k,
 
 def _nlhd_vjp_fwd(q, k, v, heads, scale, block_q, block_k, interpret):
     # grad path: reuse the proven head-major lse machinery (the extra
-    # transposes only cost on the training path, which remats anyway)
-    return (_flash_fwd_nlhd(q, k, v, heads, scale, block_q, block_k,
-                            interpret), (q, k, v))
-
-
-def _nlhd_vjp_bwd(heads, scale, block_q, block_k, interpret, res, g):
-    q, k, v = res
+    # transposes only cost on the training path, which remats anyway).
+    # The forward runs ONCE here, with save_lse; the backward consumes the
+    # saved (o, lse) residuals directly via _flash_bwd — no nested
+    # custom_vjp whose own forward would re-run flash a second time.
     n, lq, hd = q.shape
     d = hd // heads
     tr = lambda x: x.reshape(n, -1, heads, d).transpose(0, 2, 1, 3)
-    _, vjp = jax.vjp(
-        lambda a, b, c: _flash_attention_nhld(
-            tr(a), tr(b), tr(c), scale, block_q, block_k, interpret),
-        q, k, v)
-    # vjp differentiates wrt the lambda's 3D (N, L, H*D) inputs, so the
-    # grads come back already in the nlhd layout
-    gq, gk, gv = vjp(tr(g))
-    return gq, gk, gv
+    qt, kt, vt = tr(q), tr(k), tr(v)
+    out, lse = _flash_fwd(qt, kt, vt, scale, block_q, block_k, interpret,
+                          save_lse=True)
+    out_nlhd = out.transpose(0, 2, 1, 3).reshape(n, lq, hd)
+    return out_nlhd, (qt, kt, vt, out, lse)
+
+
+def _nlhd_vjp_bwd(heads, scale, block_q, block_k, interpret, res, g):
+    qt, kt, vt, o, lse = res
+    n, h, lq, d = qt.shape
+    gt = g.reshape(n, lq, h, d).transpose(0, 2, 1, 3)
+    dq, dk, dv = _flash_bwd(qt, kt, vt, o, lse, gt, scale, block_q, block_k,
+                            interpret)
+    un = lambda x: x.transpose(0, 2, 1, 3).reshape(n, x.shape[2], h * d)
+    return un(dq), un(dk), un(dv)
 
 
 _flash_attention_nlhd.defvjp(_nlhd_vjp_fwd, _nlhd_vjp_bwd)
-
-
-def _xla_ref(q, k, v, scale):
-    s = jnp.einsum("nhqd,nhkd->nhqk", q.astype(jnp.float32),
-                   k.astype(jnp.float32)) * scale
-    p = jax.nn.softmax(s, axis=-1)
-    return jnp.einsum("nhqk,nhkd->nhqd", p.astype(v.dtype), v).astype(q.dtype)
 
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref, dq_ref,
@@ -570,28 +572,12 @@ def _flash_attention_packed(q, k, v, heads, scale, block_q, block_k,
                              interpret)
 
 
-def _packed_vjp_fwd(q, k, v, heads, scale, block_q, block_k, interpret):
-    out = _flash_fwd_packed(q, k, v, heads, scale, block_q, block_k, interpret)
-    return out, (q, k, v)
-
-
-def _packed_vjp_bwd(heads, scale, block_q, block_k, interpret, res, g):
-    q, k, v = res
-    d = q.shape[-1] // heads
-
-    def ref(q_, k_, v_):
-        split = lambda t: t.reshape(*t.shape[:-1], heads, d)
-        n, lq = q_.shape[:2]
-        o = _xla_ref(split(q_).transpose(0, 2, 1, 3),
-                     split(k_).transpose(0, 2, 1, 3),
-                     split(v_).transpose(0, 2, 1, 3), scale)
-        return o.transpose(0, 2, 1, 3).reshape(n, lq, heads * d)
-
-    _, vjp = jax.vjp(ref, q, k, v)
-    return vjp(g)
-
-
-_flash_attention_packed.defvjp(_packed_vjp_fwd, _packed_vjp_bwd)
+# Under differentiation the packed path shares the nlhd vjp: a head-major
+# flash forward with fused lse residual, then _flash_bwd on the residuals.
+# (Previously this fell back to _xla_ref's vjp, which materializes the full
+# (Lq, Lk) logits matrix — an OOM trap at 9216 tokens the moment training
+# ran with packed=True.)
+_flash_attention_packed.defvjp(_nlhd_vjp_fwd, _nlhd_vjp_bwd)
 
 
 def flash_attention(

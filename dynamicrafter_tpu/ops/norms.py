@@ -46,11 +46,21 @@ class GroupNorm(nn.Module):
         # (var = E[x^2] - E[x]^2), then one streaming normalize fusion.
         grouped = x.reshape(*x.shape[:-1], g, c // g)
         axes = tuple(range(self.num_batch_axes, grouped.ndim - 2)) + (grouped.ndim - 1,)
-        mean = jnp.mean(grouped.astype(jnp.float32), axis=axes, keepdims=True,
-                        dtype=jnp.float32)
-        meansq = jnp.mean(jnp.square(grouped.astype(jnp.float32)), axis=axes,
-                          keepdims=True, dtype=jnp.float32)
-        var = meansq - jnp.square(mean)
+        # E[x^2]-E[x]^2 cancels catastrophically when |mean| >> std; shift by
+        # one cheap per-group sample first (var is shift-invariant), which
+        # bounds the moments near the group's own scale. stop_gradient keeps
+        # the offset out of autodiff — analytically mean/var are the standard
+        # formulas of x with the offset a constant, so grads stay exact.
+        off_idx = tuple(
+            slice(None) if (i < self.num_batch_axes or i == grouped.ndim - 2)
+            else slice(0, 1) for i in range(grouped.ndim))
+        off = jax.lax.stop_gradient(grouped[off_idx].astype(jnp.float32))
+        smean = jnp.mean(grouped.astype(jnp.float32) - off, axis=axes,
+                         keepdims=True, dtype=jnp.float32)
+        smeansq = jnp.mean(jnp.square(grouped.astype(jnp.float32) - off),
+                           axis=axes, keepdims=True, dtype=jnp.float32)
+        var = smeansq - jnp.square(smean)
+        mean = smean + off
         inv = jax.lax.rsqrt(jnp.maximum(var, 0.0) + self.epsilon)
         normed = (grouped.astype(jnp.float32) - mean) * inv
         normed = normed.reshape(x.shape)

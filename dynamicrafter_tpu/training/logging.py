@@ -119,7 +119,8 @@ class SampleLogger:
 
     def __init__(self, pipe, logdir: str, every_n_steps: int = 500,
                  sample_kwargs: Optional[dict] = None, max_samples: int = 2,
-                 fps: int = 8, to_tensorboard: bool = True):
+                 fps: int = 8, to_tensorboard: bool = True,
+                 log_inputs: bool = True):
         self.pipe = pipe
         self.dir = os.path.join(logdir, "samples")
         os.makedirs(self.dir, exist_ok=True)
@@ -130,6 +131,7 @@ class SampleLogger:
         self.kwargs.update(sample_kwargs or {})
         self.max_samples = max_samples
         self.fps = fps
+        self.log_inputs = log_inputs
         self._tb = None
         if to_tensorboard:
             try:
@@ -153,6 +155,18 @@ class SampleLogger:
             save_video(out.videos[i, 0],
                        os.path.join(self.dir, f"step{step:07d}_{i}.mp4"),
                        fps=self.fps)
+        if self.log_inputs:
+            # input + VAE-reconstruction rows, like the reference's
+            # log_images "reconst"/"image_condition" keys
+            # (main/callbacks.py:57-88, lvdm/models/ddpm3d.py:1149-1155)
+            import jax.random as jrandom
+            z = self.pipe.encode_video(videos, jrandom.PRNGKey(0))
+            reconst = np.asarray(self.pipe.decode_latents(z))
+            for i in range(len(videos)):
+                save_video(videos[i], os.path.join(
+                    self.dir, f"step{step:07d}_{i}_input.mp4"), fps=self.fps)
+                save_video(reconst[i], os.path.join(
+                    self.dir, f"step{step:07d}_{i}_reconst.mp4"), fps=self.fps)
         if self._tb is not None:
             # TensorBoard video summary (reference main/callbacks.py:31-55):
             # (N, T, C, H, W) uint8

@@ -10,6 +10,9 @@ one process per host:
 
 Within each process, the local devices additionally form a (dp, sp) mesh for
 sharded sampling of each clip.
+
+The parsed namespace is handed to inference.main() directly — no argv
+re-parsing, no monkeypatching (args are parsed exactly once).
 """
 from __future__ import annotations
 
@@ -39,27 +42,7 @@ def main():
             process_id=args.process_id,
         )
 
-    # slice the prompt list across processes (inference.py:350-356)
-    from dynamicrafter_tpu.utils import video as V
-
-    orig = V.load_prompt_dir
-
-    def sliced_load(*a, **k):
-        names, videos, prompts = orig(*a, **k)
-        n = len(prompts)
-        per = -(-n // args.num_processes)
-        lo = args.process_id * per
-        hi = min(n, lo + per)
-        return names[lo:hi], videos[lo:hi], prompts[lo:hi]
-
-    V.load_prompt_dir = sliced_load
-
-    sys.argv = [sys.argv[0]] + [
-        a for a in sys.argv[1:]
-        if not any(a.startswith(f"--{f}") for f in
-                   ("coordinator", "num_processes", "process_id"))
-    ]
-    run_local()
+    run_local(args, prompt_shard=(args.process_id, args.num_processes))
 
 
 if __name__ == "__main__":

@@ -27,8 +27,13 @@ def get_parser():
     p.add_argument("--num_steps", type=int, default=1000)
     p.add_argument("--lr", type=float, default=0.01)
     p.add_argument("--cfg_scale", type=float, default=7.5)
-    p.add_argument("--weight_type", type=str, default="t",
-                   choices=["t", "ada", "uniform"])
+    p.add_argument("--loss_type", type=str, default="sds",
+                   choices=["sds", "csd", "rfds"],
+                   help="alias for a default weight_type: sds->t, csd->ada, "
+                        "rfds->uniform (reference "
+                        "generate_dynamicrafter_pipeline.py:221-228)")
+    p.add_argument("--weight_type", type=str, default="auto",
+                   choices=["auto", "t", "ada", "uniform"])
     p.add_argument("--frame_stride", type=int, default=None)
     p.add_argument("--seed", type=int, default=123)
     p.add_argument("--savefps", type=int, default=10)
@@ -62,12 +67,19 @@ def main():
         pipe.init_random(latent_hw=(args.height // f, args.width // f))
         print("WARNING: random-init weights — smoke run only")
 
-    fs = args.frame_stride or AUTO_FS.get(args.width, 24)
+    fs = (AUTO_FS.get(args.width, 24) if args.frame_stride is None
+          else args.frame_stride)
+    if args.weight_type == "auto":
+        # loss_type only remaps to a weight type in the reference too
+        # (generate_dynamicrafter_pipeline.py:221-228)
+        weight_type = {"sds": "t", "csd": "ada", "rfds": "uniform"}[args.loss_type]
+    else:
+        weight_type = args.weight_type
     hi_res = args.width in (512, 1024)
     sds = SDSGuidancePipeline(pipe, SDSSettings(
         num_steps=args.num_steps, lr=args.lr, cfg_scale=args.cfg_scale,
         guidance_rescale=0.7 if hi_res else 0.0,
-        weight_type=args.weight_type,
+        weight_type=weight_type,
         timestep_spacing="uniform_trailing" if hi_res else "uniform",
     ))
 

@@ -68,8 +68,15 @@ def get_parser():
     return p
 
 
-def main():
-    args = get_parser().parse_args()
+def main(args=None, prompt_shard=(0, 1)):
+    """Run inference over a prompt dir.
+
+    args: pre-parsed namespace (None -> parse sys.argv).
+    prompt_shard: (shard_id, num_shards) slice of the prompt list for
+        multi-host data-parallel inference (reference inference.py:350-356).
+    """
+    if args is None:
+        args = get_parser().parse_args()
 
     import jax
     import jax.numpy as jnp
@@ -102,6 +109,12 @@ def main():
     names, videos, prompts = load_prompt_dir(
         args.prompt_dir, video_size=(args.height, args.width),
         video_frames=args.video_length, interp=args.interp)
+    shard_id, num_shards = prompt_shard
+    if num_shards > 1:
+        per = -(-len(prompts) // num_shards)
+        lo = shard_id * per
+        hi = min(len(prompts), lo + per)
+        names, videos, prompts = names[lo:hi], videos[lo:hi], prompts[lo:hi]
     if not args.text_input:
         prompts = [""] * len(prompts)
 

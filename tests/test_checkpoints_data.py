@@ -119,6 +119,20 @@ def test_loader_multihost_shards_disjoint_and_deterministic():
         np.testing.assert_array_equal(a, b)
 
 
+def test_loader_rejects_shard_smaller_than_batch():
+    """A shard with fewer samples than batch_size used to make the loader
+    spin forever yielding nothing (silent hang at next()); it must raise
+    at construction instead."""
+    import pytest
+
+    ds = SyntheticVideoDataset(video_length=2, resolution=(8, 8), size=3)
+    # shard 1 of 2 holds only index 1 -> 1 sample < batch_size 2
+    with pytest.raises(ValueError, match="fewer than batch_size"):
+        DataLoader(ds, batch_size=2, shard_id=1, num_shards=2)
+    # boundary: shard size == batch_size is fine (shard 0 holds {0, 2})
+    DataLoader(ds, batch_size=2, shard_id=0, num_shards=2)
+
+
 def test_resize_center_crop():
     frames = np.zeros((2, 100, 60, 3), np.uint8)
     out = _resize_center_crop(frames, (32, 48))

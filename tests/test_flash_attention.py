@@ -56,3 +56,33 @@ def test_flash_grad_matches_xla(lq, lk):
     for a, b in zip(gf, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-4, rtol=1e-3)
+
+
+def test_flash_packed_grad_uses_flash_backward():
+    """The packed layout's vjp must route through the Pallas _flash_bwd
+    (shared with the nlhd path), never through an XLA softmax whose vjp
+    materializes the (Lq, Lk) logits matrix — at L=2560+ that fallback was
+    an OOM trap on the training path."""
+    from unittest import mock
+
+    from dynamicrafter_tpu.ops import flash_attention as fa
+
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.standard_normal((1, 2560, 2, 32)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((1, 2560, 2, 32)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((1, 2560, 2, 32)).astype(np.float32))
+
+    def loss_packed(q, k, v):
+        return jnp.sum(
+            flash_attention(q, k, v, interpret=True, packed=True) ** 2)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(xla_attention(q, k, v) ** 2)
+
+    with mock.patch.object(fa, "_flash_bwd", wraps=fa._flash_bwd) as spy:
+        gp = jax.grad(loss_packed, argnums=(0, 1, 2))(q, k, v)
+        assert spy.called, "packed vjp did not hit the Pallas flash backward"
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-3)

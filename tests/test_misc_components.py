@@ -58,6 +58,27 @@ def test_to_uint8_range():
     assert out.tolist() == [[[0, 128, 255]]]
 
 
+def test_groupnorm_large_mean_offset():
+    """Shifted-moment variance must survive |mean| >> std (the naive
+    E[x^2]-E[x]^2 form loses all significant bits of var in fp32 here)."""
+    import jax
+
+    from dynamicrafter_tpu.ops.norms import GroupNorm
+
+    rng = np.random.default_rng(0)
+    # mean ~ 512, std ~ 0.05: naive fp32 one-pass variance is pure noise
+    x = (512.0 + 0.05 * rng.standard_normal((2, 4, 4, 64))).astype(np.float32)
+    gn = GroupNorm(num_groups=8, num_batch_axes=1)
+    params = gn.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    out = np.asarray(gn.apply(params, jnp.asarray(x)))
+
+    xr = x.astype(np.float64).reshape(2, 4, 4, 8, 8)
+    mean = xr.mean(axis=(1, 2, 4), keepdims=True)
+    var = ((xr - mean) ** 2).mean(axis=(1, 2, 4), keepdims=True)
+    ref = ((xr - mean) / np.sqrt(var + 1e-5)).reshape(x.shape)
+    np.testing.assert_allclose(out, ref, atol=5e-3, rtol=1e-2)
+
+
 def test_hash_tokenizer_structure():
     tok = HashTokenizer()
     out = tok(["hello world", ""])
