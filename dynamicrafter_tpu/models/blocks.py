@@ -25,7 +25,15 @@ import jax.numpy as jnp
 
 from dynamicrafter_tpu.ops.attention import dot_product_attention
 from dynamicrafter_tpu.ops.norms import GroupNorm
-from dynamicrafter_tpu.parallel.sharding import DATA_AXIS, SEQ_AXIS, constrain
+from dynamicrafter_tpu.parallel.sharding import (
+    DATA_AXIS, SEQ_AXIS, active_mesh, constrain,
+)
+
+
+def _seq_sharded() -> bool:
+    """True when tracing under a mesh whose 'sp' axis is >1."""
+    mesh = active_mesh()
+    return mesh is not None and mesh.shape.get(SEQ_AXIS, 1) > 1
 
 Context = Optional[Tuple[Optional[jax.Array], Optional[jax.Array]]]
 # (text_context (B, Lt, Cc), image_context (B, T, Li, Cc) or None)
@@ -79,6 +87,10 @@ class CrossAttention(nn.Module):
     image_cross_attention: bool = False
     image_cross_attention_scale: float = 1.0
     image_cross_attention_scale_learnable: bool = False
+    # tokens live at axis 1 of a (B, T, G, C) input (the UNet's native
+    # spatial-major layout) instead of axis -2 — the transpose-free
+    # temporal path. Self-attention only; same params either way.
+    tokens_axis1: bool = False
 
     @nn.compact
     def __call__(
@@ -99,7 +111,15 @@ class CrossAttention(nn.Module):
         split = lambda t: t.reshape(*t.shape[:-1], self.heads, self.dim_head)
         q = split(q)
 
-        if context is None:
+        if self.tokens_axis1:
+            assert context is None and not self.relative_position
+            from dynamicrafter_tpu.ops.attention import attention_axis1
+
+            k = split(dense("to_k", inner, x))
+            v = split(dense("to_v", inner, x))
+            out = attention_axis1(q, k, v, mask=mask)
+            out = out.reshape(*out.shape[:-2], inner)
+        elif context is None:
             k = split(dense("to_k", inner, x))
             v = split(dense("to_v", inner, x))
             if self.relative_position:
@@ -186,6 +206,7 @@ class BasicTransformerBlock(nn.Module):
     image_cross_attention: bool = False
     image_cross_attention_scale: float = 1.0
     image_cross_attention_scale_learnable: bool = False
+    tokens_axis1: bool = False
 
     @nn.compact
     def __call__(
@@ -201,6 +222,7 @@ class BasicTransformerBlock(nn.Module):
             heads=self.n_heads, dim_head=self.d_head, dropout=self.dropout,
             relative_position=self.relative_position,
             temporal_length=self.temporal_length,
+            tokens_axis1=self.tokens_axis1,
         )
         h = ln("norm1")(x).astype(x.dtype)
         x = CrossAttention(query_dim=self.dim, name="attn1", **attn_kw)(
@@ -283,17 +305,27 @@ class TemporalTransformer(nn.Module):
         inner = self.n_heads * self.d_head
         x_in = x
         x = GroupNorm(32, epsilon=1e-6, num_batch_axes=1, name="norm")(x)
-        # (B, T, H, W, C) -> (B, HW, T, C): the dp/sp reshard point. Spatial
-        # stages carry T on 'sp'; here HW carries 'sp' and T is local. Both
-        # sides of the transpose are pinned so GSPMD places exactly one
-        # all-to-all AT the transpose — without the pre-transpose pin the
-        # HW:sp spec propagates backward through the reshape into an H/W
-        # split sharding that forces an involuntary full rematerialization
-        # inside the GroupNorm (observed SPMD-partitioner warning).
+        # Fast path (all shipped configs): stay in the spatial-major
+        # (B, T, HW, C) layout end to end — Dense/LayerNorm/FFN touch only
+        # the channel axis, and attention mixes T at axis 1 via the
+        # time-major packed kernel (ops/small_attention.py::_kernel_tmajor).
+        # No transpose ever hits HBM. Rel-pos / causal variants keep the
+        # legacy (B, HW, T, C) transpose path (their einsums/masks assume
+        # tokens at -2).
+        fast = not (self.relative_position or self.causal_attention)
         x = x.reshape(b, t, h * w, c)
+        # The dp/sp reshard point. Spatial stages carry T on 'sp'; the
+        # temporal stage carries HW on 'sp' with T local. Pinning the
+        # pre-reshard layout first stops the HW:'sp' spec propagating
+        # backward through the 5D reshape into an H/W-split sharding that
+        # forces an involuntary full rematerialization inside the GroupNorm
+        # (observed SPMD-partitioner warning).
         x = constrain(x, DATA_AXIS, SEQ_AXIS, None, None)    # still T: sp
-        x = x.transpose(0, 2, 1, 3)
-        x = constrain(x, DATA_AXIS, SEQ_AXIS, None, None)    # now HW: sp
+        if fast:
+            x = constrain(x, DATA_AXIS, None, SEQ_AXIS, None)  # HW: sp
+        else:
+            x = x.transpose(0, 2, 1, 3)
+            x = constrain(x, DATA_AXIS, SEQ_AXIS, None, None)  # HW: sp
         x = nn.Dense(inner, name="proj_in", dtype=x.dtype, param_dtype=jnp.float32)(x)
 
         mask = None
@@ -306,49 +338,144 @@ class TemporalTransformer(nn.Module):
                 context_dim=None, dropout=self.dropout,
                 relative_position=self.relative_position,
                 temporal_length=self.temporal_length,
+                tokens_axis1=fast,
                 name=f"transformer_blocks_{i}",
             )(x, context=None, mask=mask, deterministic=deterministic)
         x = nn.Dense(self.in_channels, name="proj_out",
                      kernel_init=nn.initializers.zeros,
                      dtype=x.dtype, param_dtype=jnp.float32)(x)
-        x = constrain(x, DATA_AXIS, SEQ_AXIS, None, None)    # HW: sp
-        x = x.transpose(0, 2, 1, 3)
-        x = constrain(x, DATA_AXIS, SEQ_AXIS, None, None)    # back to T: sp
+        if fast:
+            x = constrain(x, DATA_AXIS, None, SEQ_AXIS, None)  # HW: sp
+            x = constrain(x, DATA_AXIS, SEQ_AXIS, None, None)  # back to T: sp
+        else:
+            x = constrain(x, DATA_AXIS, SEQ_AXIS, None, None)  # HW: sp
+            x = x.transpose(0, 2, 1, 3)
+            x = constrain(x, DATA_AXIS, SEQ_AXIS, None, None)  # back to T: sp
         x = x.reshape(b, t, h, w, c)
         x = constrain(x, DATA_AXIS, SEQ_AXIS, None, None, None)
         return x + x_in
 
 
+class SpatialConv(nn.Module):
+    """Per-frame k×k conv, lowered as a FOLDED 4D NHWC conv2d.
+
+    The parameter keeps the 5D (1, k, k, I, O) shape (so utils/weights.py's
+    torch Conv2d mapping is unchanged), but the input is reshaped
+    (B, T, H, W, C) -> (B*T, H, W, C) — a free layout-preserving merge —
+    before a standard conv2d. Device-profiled on v5e: the 5D (1,k,k) conv
+    forces XLA into a (T, H, B, W, C)-ish conv layout with a full-tensor
+    relayout copy on each side plus materialized f32 operand broadcasts;
+    the folded conv2d takes the standard NHWC path: 1.07 vs 1.97 ms per
+    ds1 conv, 2.3x on the whole GN-SiLU-conv-emb chain (round-3 probes).
+
+    Under the (dp, sp) mesh the merged axis carries ('dp','sp') nested —
+    (B: dp, T: sp) merges contiguously since B is the major factor.
+    """
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    zero_init: bool = False
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, t, h, w, c = x.shape
+        k = self.kernel
+        init = (nn.initializers.zeros if self.zero_init
+                else nn.initializers.lecun_normal())
+        kern = self.param("kernel", init, (1, k, k, c, self.features),
+                          jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        dtype = self.dtype or x.dtype
+        pad = k // 2
+        xb = x.reshape(b * t, h, w, c)
+        xb = constrain(xb, (DATA_AXIS, SEQ_AXIS), None, None, None)
+        out = jax.lax.conv_general_dilated(
+            xb.astype(dtype), kern[0].astype(dtype),
+            (self.stride, self.stride), [(pad, pad), (pad, pad)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        out = out + bias.astype(dtype)
+        out = out.reshape(b, t, out.shape[1], out.shape[2], self.features)
+        return constrain(out, DATA_AXIS, SEQ_AXIS, None, None, None)
+
+
 def conv_spatial(features: int, name: str, *, kernel: int = 3, stride: int = 1,
                  zero_init: bool = False, dtype=None):
-    """3x3 (or 1x1) per-frame conv as a (1,k,k) conv on (B,T,H,W,C)."""
-    pad = kernel // 2
-    return nn.Conv(
-        features,
-        kernel_size=(1, kernel, kernel),
-        strides=(1, stride, stride),
-        padding=[(0, 0), (pad, pad), (pad, pad)],
-        kernel_init=nn.initializers.zeros if zero_init else nn.initializers.lecun_normal(),
-        name=name,
-        dtype=dtype,
-        param_dtype=jnp.float32,
-    )
+    """3x3 (or 1x1) per-frame conv on (B,T,H,W,C); folded-conv2d lowering."""
+    return SpatialConv(features, kernel=kernel, stride=stride,
+                       zero_init=zero_init, dtype=dtype, name=name)
+
+
+class TemporalConv(nn.Module):
+    """(3,1,1) temporal conv (spatial_aware adds an H or W extent of 3),
+    lowered as THREE T-SHIFTED matmuls / folded conv2ds instead of a 5D
+    conv: y[t] = Σ_dt x[t+dt-1] · K[dt]. Device-profiled on v5e: the 5D
+    (3,1,1) conv pays the same conv-layout relayout copies as the spatial
+    convs; the shifted-matmul form runs on the standard MXU einsum path —
+    1.43 vs 2.15 ms on the GN-SiLU-conv ×2 chain (round-3 probes). The
+    parameter keeps the (3, kh, kw, I, O) shape of utils/weights.py's
+    torch Conv3d mapping. Under the mesh the ±1 shifts over a T:'sp'
+    sharded axis lower to neighbor collective-permutes (halo exchange),
+    same as the 5D conv's partitioning."""
+
+    features: int
+    spatial_aware: bool = False
+    w_axis: bool = False
+    zero_init: bool = False
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, t, h, w, c = x.shape
+        if not self.spatial_aware:
+            kh, kw = 1, 1
+        elif not self.w_axis:
+            kh, kw = 3, 1
+        else:
+            kh, kw = 1, 3
+        init = (nn.initializers.zeros if self.zero_init
+                else nn.initializers.lecun_normal())
+        kern = self.param("kernel", init, (3, kh, kw, c, self.features),
+                          jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        dtype = self.dtype or x.dtype
+        if _seq_sharded():
+            # T carries 'sp' here: the conv partitioner's halo exchange is
+            # 2 neighbor collective-permutes per conv, while the pad+slice
+            # shift form repartitions the padded axis (8 permutes measured,
+            # tests/test_sp_collectives.py). Keep the 5D conv under sp.
+            return jax.lax.conv_general_dilated(
+                x.astype(dtype), kern.astype(dtype), (1, 1, 1),
+                [(1, 1), (kh // 2, kh // 2), (kw // 2, kw // 2)],
+                dimension_numbers=("NTHWC", "THWIO", "NTHWC"),
+            ) + bias.astype(dtype)
+        xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+        out = None
+        for dt in range(3):
+            xs = xp[:, dt:dt + t].astype(dtype)
+            if kh == 1 and kw == 1:
+                o = jnp.einsum("bthwc,cf->bthwf", xs,
+                               kern[dt, 0, 0].astype(dtype))
+            else:
+                xb = xs.reshape(b * t, h, w, c)
+                xb = constrain(xb, (DATA_AXIS, SEQ_AXIS), None, None, None)
+                o = jax.lax.conv_general_dilated(
+                    xb, kern[dt].astype(dtype), (1, 1),
+                    [(kh // 2, kh // 2), (kw // 2, kw // 2)],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                o = o.reshape(b, t, h, w, self.features)
+            out = o if out is None else out + o
+        return out + bias.astype(dtype)
 
 
 def conv_temporal(features: int, name: str, *, spatial_aware: bool = False,
                   w_axis: bool = False, zero_init: bool = False, dtype=None):
     """(3,1,1) temporal conv; spatial_aware adds an H or W extent of 3."""
-    if not spatial_aware:
-        kernel, pad = (3, 1, 1), [(1, 1), (0, 0), (0, 0)]
-    elif not w_axis:
-        kernel, pad = (3, 3, 1), [(1, 1), (1, 1), (0, 0)]
-    else:
-        kernel, pad = (3, 1, 3), [(1, 1), (0, 0), (1, 1)]
-    return nn.Conv(
-        features, kernel_size=kernel, padding=pad,
-        kernel_init=nn.initializers.zeros if zero_init else nn.initializers.lecun_normal(),
-        name=name, dtype=dtype, param_dtype=jnp.float32,
-    )
+    return TemporalConv(features, spatial_aware=spatial_aware, w_axis=w_axis,
+                        zero_init=zero_init, dtype=dtype, name=name)
 
 
 class TemporalConvBlock(nn.Module):

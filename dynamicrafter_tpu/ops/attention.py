@@ -105,6 +105,43 @@ def _use_small_t(q, k, v, mask, backend: str) -> bool:
     return g >= 256
 
 
+def attention_axis1(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mask: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+    backend: Optional[str] = None,
+) -> jax.Array:
+    """Self-attention over the axis-1 tokens of (B, L, G, H, D) — the
+    UNet's spatial-major temporal layout, consumed without any transpose.
+
+    On TPU with a small T this hits the time-major packed Pallas kernel
+    (ops/small_attention.py); otherwise the operands take one moveaxis
+    round-trip through the standard tokens-at--2 path (fallback only:
+    CPU/parity runs and the rare masked variants)."""
+    backend = backend or _BACKEND
+    t = q.shape[1]
+    eligible = (backend != "xla" and mask is None
+                and q.shape == k.shape == v.shape
+                and q.ndim == 5 and t <= 32 and 128 % t == 0)
+    if eligible:
+        try:
+            on_tpu = jax.default_backend() == "tpu"
+        except RuntimeError:
+            on_tpu = False
+        if on_tpu or backend == "flash":
+            from dynamicrafter_tpu.ops.small_attention import (
+                small_t_attention_tmajor,
+            )
+
+            return small_t_attention_tmajor(q, k, v, scale=scale)
+    mv = lambda x: jnp.moveaxis(x, 1, -3)
+    out = dot_product_attention(mv(q), mv(k), mv(v), mask=mask, scale=scale,
+                                backend=backend)
+    return jnp.moveaxis(out, -3, 1)
+
+
 def dot_product_attention(
     q: jax.Array,
     k: jax.Array,

@@ -128,6 +128,121 @@ def _vjp_bwd(scale, interpret, res, grad):
 _small_t_attention.defvjp(_vjp_fwd, _vjp_bwd)
 
 
+def _kernel_tmajor(q_ref, k_ref, v_ref, o_ref, *, t: int, p: int, rb: int,
+                   heads: int, d: int, scale: float):
+    """Time-major variant: blocks are (1, t, ppb, H*D) slices of the natural
+    (B, T, G, H*D) layout — the layout the surrounding UNet already uses —
+    so NO HBM transpose is needed on either side of the call. Rows of the
+    packed (pt, pt) logits tile are ordered row = tt*p + pp (a free reshape
+    of the (t, p, hd) VMEM slice), which turns the block-diagonal mask of
+    the position-major kernel into a stripe mask (row % p == col % p)."""
+    pt = p * t
+    row = jax.lax.broadcasted_iota(jnp.int32, (pt, pt), 0) % p
+    col = jax.lax.broadcasted_iota(jnp.int32, (pt, pt), 1) % p
+    stripe = row == col
+    for r in range(rb):
+        sl = slice(r * p, (r + 1) * p)
+        q = q_ref[0, :, sl].reshape(pt, heads * d)
+        k = k_ref[0, :, sl].reshape(pt, heads * d)
+        v = v_ref[0, :, sl].reshape(pt, heads * d)
+        outs = []
+        for hh in range(heads):
+            lanes = slice(hh * d, (hh + 1) * d)
+            s = jax.lax.dot_general(
+                q[:, lanes], k[:, lanes], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            s = jnp.where(stripe, s, _NEG_INF)
+            m = jnp.max(s, axis=1, keepdims=True)
+            e = jnp.exp(s - m)
+            att = e / jnp.sum(e, axis=1, keepdims=True)
+            outs.append(jax.lax.dot(att.astype(v.dtype), v[:, lanes],
+                                    preferred_element_type=jnp.float32))
+        o = jnp.concatenate(outs, axis=-1)
+        o_ref[0, :, sl] = o.reshape(t, p, heads * d).astype(o_ref.dtype)
+
+
+def _small_t_fwd_tmajor(q, k, v, scale, interpret, rb: int = 16):
+    """q, k, v: (B, T, G, H, D) — attention over T for each (B, G) column,
+    consumed directly in the spatial-major layout (no transposes)."""
+    b, t, g, h, d = q.shape
+    p = max(1, 128 // t)
+    while p * rb > max(g, p):
+        rb //= 2
+    while rb > 1 and p * rb * t * h * d * q.dtype.itemsize * 8 > 12 * 2 ** 20:
+        rb //= 2
+    ppb = p * rb
+    pad_g = (-g) % ppb
+    re = lambda x: x.reshape(b, t, g, h * d)
+    q, k, v = re(q), re(k), re(v)
+    if pad_g:
+        padg = ((0, 0), (0, 0), (0, pad_g), (0, 0))
+        q, k, v = jnp.pad(q, padg), jnp.pad(k, padg), jnp.pad(v, padg)
+    gp = g + pad_g
+
+    spec = pl.BlockSpec((1, t, ppb, h * d), lambda bi, gi: (bi, 0, gi, 0))
+    out = pl.pallas_call(
+        functools.partial(_kernel_tmajor, t=t, p=p, rb=rb, heads=h, d=d,
+                          scale=scale),
+        grid=(b, gp // ppb),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((b, t, gp, h * d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * gp * h * p * t * t * d,
+            bytes_accessed=4 * b * gp * t * h * d * q.dtype.itemsize,
+            transcendentals=b * gp * h * t * t * p,
+        ),
+        interpret=interpret,
+    )(q, k, v)
+    if pad_g:
+        out = out[:, :, :g]
+    return out.reshape(b, t, g, h, d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _small_t_attention_tmajor(q, k, v, scale, interpret):
+    return _small_t_fwd_tmajor(q, k, v, scale, interpret)
+
+
+def _xla_ref_tmajor(q, k, v, scale):
+    s = jnp.einsum("bqghd,bkghd->bghqk", q.astype(jnp.float32),
+                   k.astype(jnp.float32)) * scale
+    att = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bghqk,bkghd->bqghd", att.astype(v.dtype),
+                      v).astype(q.dtype)
+
+
+def _vjp_fwd_tmajor(q, k, v, scale, interpret):
+    return _small_t_fwd_tmajor(q, k, v, scale, interpret), (q, k, v)
+
+
+def _vjp_bwd_tmajor(scale, interpret, res, grad):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda a, b, c: _xla_ref_tmajor(a, b, c, scale), q, k, v)
+    return vjp(grad)
+
+
+_small_t_attention_tmajor.defvjp(_vjp_fwd_tmajor, _vjp_bwd_tmajor)
+
+
+def small_t_attention_tmajor(q, k, v, scale=None, interpret=None):
+    """Self-attention over a small T axis at axis 1 of (B, T, G, H, D) —
+    i.e. the (B, T, HW, C)-derived layout — with no layout change. Requires
+    128 % T == 0. Returns (B, T, G, H, D)."""
+    t = q.shape[1]
+    assert q.shape == k.shape == v.shape, "small-T path is self-attention only"
+    assert 128 % t == 0, f"T={t} must divide 128"
+    assert q.ndim == 5
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _small_t_attention_tmajor(q, k, v, scale, interpret)
+
+
 def small_t_attention(q, k, v, scale=None, interpret=None):
     """Self-attention over a small T axis. q/k/v: (..., T, H, D), identical
     shapes; returns (..., T, H, D). Requires 128 % T == 0."""
