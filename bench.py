@@ -64,8 +64,10 @@ def _bench_conditioning(mc, b, h, w, dtype):
     res = Resampler(ResamplerConfig.from_dict(mc.resampler), dtype=dtype)
     vae = AutoencoderKL(VAEConfig.from_dict(mc.vae), dtype=dtype)
 
-    tokens = jnp.zeros((2 * b, 77), jnp.int32)
-    img = jnp.zeros((b, 8 * h, 8 * w, 3), dtype)
+    import jax
+
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (2 * b, 77), 0, 49408)
+    img = jax.random.normal(jax.random.PRNGKey(2), (b, 8 * h, 8 * w, 3), dtype)
     img_size = vision.config.image_size
     px = jnp.zeros((b, img_size, img_size, 3), dtype)
     n_patches = (img_size // vision.config.patch_size) ** 2 + 1
@@ -91,7 +93,7 @@ def _bench_conditioning(mc, b, h, w, dtype):
 
 
 def _bench_resolution(mc, b, h, w, steps, dtype, sequential_cfg,
-                      with_conditioning):
+                      with_conditioning, cfg_both=False):
     import jax.numpy as jnp
 
     from dynamicrafter_tpu.models.unet3d import UNetConfig, UNetModel
@@ -108,13 +110,22 @@ def _bench_resolution(mc, b, h, w, steps, dtype, sequential_cfg,
     unet = UNetModel(unet_cfg, dtype=dtype)
     n_img_tok = (mc.resampler or {}).get("num_queries", 16)
 
+    import jax
+
+    # Conditioning is RANDOM and passed as RUNTIME args to the scan (not
+    # captured constants): zeros-valued closures are one constant-folding
+    # compiler upgrade away from silently benchmarking a hollow model.
+    keys = jax.random.split(jax.random.PRNGKey(7), 4)
     zc = vae_cfg.z_channels
-    x = jnp.zeros((b, t_len, h, w, zc), dtype)
+    x = jax.random.normal(keys[0], (b, t_len, h, w, zc), dtype)
     ctx_dim = unet_cfg.context_dim
     cond = CFGConditioning(
-        context_text=jnp.zeros((2, b, 77, ctx_dim), dtype),
-        context_img=jnp.zeros((2, b, t_len, n_img_tok, ctx_dim), dtype),
-        concat=jnp.zeros((2, b, t_len, h, w, zc), dtype),
+        context_text=jax.random.normal(
+            keys[1], (2, b, 77, ctx_dim), dtype) * 0.1,
+        context_img=jax.random.normal(
+            keys[2], (2, b, t_len, n_img_tok, ctx_dim), dtype) * 0.1,
+        concat=jax.random.normal(
+            keys[3], (2, b, t_len, h, w, zc), dtype),
         fs=jnp.full((b,), 24, jnp.int32),
     )
     xfull = jnp.zeros((2 * b, t_len, h, w, 2 * zc), dtype)
@@ -147,19 +158,35 @@ def _bench_resolution(mc, b, h, w, steps, dtype, sequential_cfg,
     # up from ~1 min to >30 min — so baking is opt-in (BENCH_BAKE=1).
     bake = os.environ.get("BENCH_BAKE", "0") == "1"
     if bake:
-        def full_scan(x0):
-            model_fn = make_cfg_denoiser(unet_apply, uparams, cond, settings)
+        def full_scan(c, x0):
+            model_fn = make_cfg_denoiser(unet_apply, uparams, c, settings)
             return ddim_sample(model_fn, x0.astype(jnp.float32), schedule,
                                table, settings).astype(dtype)
 
-        scan_seconds = time_once(full_scan, x, repeats=2)
+        scan_seconds = time_once(full_scan, cond, x, repeats=2)
     else:
-        def full_scan(params, x0):
-            model_fn = make_cfg_denoiser(unet_apply, params, cond, settings)
+        def full_scan(params, c, x0):
+            model_fn = make_cfg_denoiser(unet_apply, params, c, settings)
             return ddim_sample(model_fn, x0.astype(jnp.float32), schedule,
                                table, settings).astype(dtype)
 
-        scan_seconds = time_once(full_scan, uparams, x, repeats=2)
+        scan_seconds = time_once(full_scan, uparams, cond, x, repeats=2)
+
+    alt_scan_seconds = None
+    if cfg_both and not bake:
+        import dataclasses as _dc
+
+        alt = _dc.replace(settings, sequential_cfg=not sequential_cfg)
+
+        def alt_scan(params, c, x0):
+            model_fn = make_cfg_denoiser(unet_apply, params, c, alt)
+            return ddim_sample(model_fn, x0.astype(jnp.float32), schedule,
+                               table, alt).astype(dtype)
+
+        alt_scan_seconds = time_once(alt_scan, uparams, cond, x, repeats=2)
+        if alt_scan_seconds < scan_seconds:
+            scan_seconds, alt_scan_seconds = alt_scan_seconds, scan_seconds
+            sequential_cfg = not sequential_cfg
 
     decoder = Decoder(vae_cfg, dtype=dtype)
     dparams = _random_params(decoder, jnp.zeros((1, h, w, zc), dtype))
@@ -175,7 +202,7 @@ def _bench_resolution(mc, b, h, w, steps, dtype, sequential_cfg,
     cond_seconds = (_bench_conditioning(mc, b, h, w, dtype)
                     if with_conditioning else 0.0)
 
-    return {
+    out = {
         "cond_stage_s": round(cond_seconds, 3),
         "ddim50_cfg_scan_s": round(scan_seconds, 3),
         "unet_step_ms": round(scan_seconds / steps * 1000, 1),
@@ -184,6 +211,9 @@ def _bench_resolution(mc, b, h, w, steps, dtype, sequential_cfg,
         "weights_baked": bake,
         "sequential_cfg": sequential_cfg,
     }
+    if alt_scan_seconds is not None:
+        out["ddim50_cfg_scan_alt_s"] = round(alt_scan_seconds, 3)
+    return out
 
 
 def main():
@@ -207,9 +237,14 @@ def main():
                 os.path.join(here, "configs", "inference_1024_v1.0.yaml"))
             d1024 = _bench_resolution(mc1024, 1, 72, 128, STEPS, dtype,
                                       sequential_cfg=True,
-                                      with_conditioning=False)
-            detail["clip_1024_s"] = d1024["e2e_clip_s"] + d512["cond_stage_s"]
+                                      with_conditioning=True, cfg_both=True)
+            detail["clip_1024_s"] = d1024["e2e_clip_s"]
+            detail["cond_stage_1024_s"] = d1024["cond_stage_s"]
             detail["unet_step_1024_ms"] = d1024["unet_step_ms"]
+            detail["sequential_cfg_1024"] = d1024["sequential_cfg"]
+            if "ddim50_cfg_scan_alt_s" in d1024:
+                detail["ddim50_cfg_scan_1024_alt_s"] = \
+                    d1024["ddim50_cfg_scan_alt_s"]
             detail["vae_decode_1024_16f_s"] = d1024["vae_decode_16f_s"]
             # A100 reference: 75 s/clip at 576x1024 (README.md:292-294)
             detail["vs_baseline_1024"] = round(75.0 / detail["clip_1024_s"], 3)

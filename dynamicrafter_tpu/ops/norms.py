@@ -37,32 +37,53 @@ class GroupNorm(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
 
-        # fp32 island WITHOUT materializing an fp32 activation: a shared
-        # x.astype(f32) consumed by three passes (mean, var, normalize) makes
-        # XLA write the full f32 tensor to HBM (measured: +50 GB/step at
-        # 320x512, f32 conv-patch tensors downstream). Instead each pass
-        # reads the bf16 activation and converts inside its own fusion:
-        # stats as two independent fp32-accumulated reductions
-        # (var = E[x^2] - E[x]^2), then one streaming normalize fusion.
-        grouped = x.reshape(*x.shape[:-1], g, c // g)
-        axes = tuple(range(self.num_batch_axes, grouped.ndim - 2)) + (grouped.ndim - 1,)
+        # Layout rule: the activation is NEVER reshaped. Splitting C into
+        # (g, c//g) on the full tensor relayouts it (c//g is not a multiple
+        # of the 128-lane tile: measured 19.8 ms/step of pure reshape copies
+        # at 320x512). Instead reduce per-CHANNEL over the spatial/temporal
+        # axes (C stays minor -> a well-tiled lane-preserving reduction),
+        # then do the group split on the tiny (..., C) stats vector.
+        #
+        # fp32 island WITHOUT materializing an fp32 activation: each pass
+        # converts bf16->f32 inside its own fusion (a shared x.astype(f32)
+        # value makes XLA write the full f32 tensor to HBM — measured
+        # +50 GB/step at 320x512).
+        nb = self.num_batch_axes
+        red_axes = tuple(range(nb, x.ndim - 1))
+        n_red = 1
+        for a in red_axes:
+            n_red *= x.shape[a]
+
         # E[x^2]-E[x]^2 cancels catastrophically when |mean| >> std; shift by
-        # one cheap per-group sample first (var is shift-invariant), which
-        # bounds the moments near the group's own scale. stop_gradient keeps
-        # the offset out of autodiff — analytically mean/var are the standard
-        # formulas of x with the offset a constant, so grads stay exact.
+        # a cheap GROUP-CONSTANT offset first (var is invariant to a constant
+        # shift within the group), which bounds the moments near the group's
+        # own scale. The offset is the channel-mean of one spatial sample.
+        # stop_gradient keeps it out of autodiff — analytically mean/var are
+        # the standard formulas of x with the offset a constant, so grads
+        # stay exact.
         off_idx = tuple(
-            slice(None) if (i < self.num_batch_axes or i == grouped.ndim - 2)
-            else slice(0, 1) for i in range(grouped.ndim))
-        off = jax.lax.stop_gradient(grouped[off_idx].astype(jnp.float32))
-        smean = jnp.mean(grouped.astype(jnp.float32) - off, axis=axes,
-                         keepdims=True, dtype=jnp.float32)
-        smeansq = jnp.mean(jnp.square(grouped.astype(jnp.float32) - off),
-                           axis=axes, keepdims=True, dtype=jnp.float32)
-        var = smeansq - jnp.square(smean)
-        mean = smean + off
+            slice(None) if i < nb else slice(0, 1) for i in range(x.ndim - 1)
+        ) + (slice(None),)
+        off_sample = jax.lax.stop_gradient(x[off_idx].astype(jnp.float32))
+        gshape = (*off_sample.shape[:-1], g, c // g)
+        off_g = off_sample.reshape(gshape).mean(axis=-1, keepdims=True)
+        off_c = jnp.broadcast_to(off_g, gshape).reshape(off_sample.shape)
+
+        smean_c = jnp.mean(x.astype(jnp.float32) - off_c, axis=red_axes,
+                           keepdims=True, dtype=jnp.float32)
+        smeansq_c = jnp.mean(jnp.square(x.astype(jnp.float32) - off_c),
+                             axis=red_axes, keepdims=True, dtype=jnp.float32)
+
+        # Group the per-channel stats (tiny: (batch..., 1..., C)).
+        smean_g = smean_c.reshape(gshape).mean(axis=-1, keepdims=True)
+        smeansq_g = smeansq_c.reshape(gshape).mean(axis=-1, keepdims=True)
+        var = smeansq_g - jnp.square(smean_g)
         inv = jax.lax.rsqrt(jnp.maximum(var, 0.0) + self.epsilon)
-        normed = (grouped.astype(jnp.float32) - mean) * inv
-        normed = normed.reshape(x.shape)
-        out = normed * scale + bias
+
+        mean_c = jnp.broadcast_to(smean_g, gshape).reshape(off_sample.shape) \
+            + off_c
+        inv_c = jnp.broadcast_to(inv, gshape).reshape(off_sample.shape)
+
+        # One streaming normalize fusion; scale/bias folded per channel.
+        out = (x.astype(jnp.float32) - mean_c) * (inv_c * scale) + bias
         return out.astype(orig_dtype)

@@ -18,6 +18,9 @@ Components (select with --component, default all):
              (+ encoder moments parity)
   clip       full ViT-H/14 text tower (w=1024,L=24) + vision tower
              (w=1280,L=32,patch 14) + full Resampler, one forward each
+  pixels     ddim + decode both frameworks' final latents through matched
+             VAE decoders -> a true end-to-end pixel-space PSNR (the same
+             units as the BASELINE.md PSNR>40 gate)
 
 Oracles are the same ones the test suite uses: the mounted reference for
 UNet/DDIM/VAE, and tests/test_conditioning_parity.py's open_clip-layout
@@ -85,7 +88,59 @@ def _full_unet_cfg(mc):
     return cfg_kw
 
 
-def run_unet_and_ddim(mc, args, do_ddim: bool):
+def _vae_decoder_pair(mc, seed_base: int = 11):
+    """Matched-random-weight (torch decode fn, jax decode fn) pair for
+    latent->pixel decoding (reference autoencoder.py:30-57 decode path:
+    post_quant_conv + Decoder)."""
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from test_unet_parity import randomize_
+    from test_vae_parity import torch_kwargs
+
+    from dynamicrafter_tpu.models.vae import AutoencoderKL, VAEConfig
+    from dynamicrafter_tpu.utils import weights as W
+
+    sys.path.insert(0, REFERENCE_ROOT)
+    from lvdm.modules.networks.ae_modules import Decoder as RefDecoder
+
+    vcfg = VAEConfig.from_dict(mc.vae)
+    dec = randomize_(RefDecoder(**torch_kwargs(vcfg)).eval(), seed=seed_base)
+    zc, ed = vcfg.z_channels, vcfg.embed_dim
+    post = torch.nn.Conv2d(ed, zc, 1)
+    g = torch.Generator().manual_seed(seed_base + 1)
+    torch.nn.init.normal_(post.weight, std=0.2, generator=g)
+    torch.nn.init.normal_(post.bias, std=0.2, generator=g)
+    sd = {"decoder." + k: v.numpy() for k, v in dec.state_dict().items()}
+    sd.update({"post_quant_conv." + k: v.numpy()
+               for k, v in post.state_dict().items()})
+    # convert_vae converts exactly the keys given; decoder+post_quant_conv
+    # is all the decode path touches.
+    params = W.convert_vae(sd)
+    ours = AutoencoderKL(vcfg)
+
+    def torch_decode(z_bcthw):
+        with torch.no_grad():
+            frames = [dec(post(torch.tensor(z_bcthw[:, :, i])))
+                      for i in range(z_bcthw.shape[2])]
+        return np.stack([f.numpy() for f in frames], axis=2)
+
+    jit_dec = jax.jit(lambda z: ours.apply({"params": params}, z,
+                                           method=AutoencoderKL.decode))
+
+    def jax_decode(z_bcthw):
+        outs = []
+        for i in range(z_bcthw.shape[2]):
+            z = jnp.asarray(np.transpose(z_bcthw[:, :, i], (0, 2, 3, 1)))
+            outs.append(np.transpose(np.asarray(jit_dec(z)), (0, 3, 1, 2)))
+        return np.stack(outs, axis=2)
+
+    return torch_decode, jax_decode
+
+
+def run_unet_and_ddim(mc, args, do_ddim: bool, do_pixels: bool = False):
     import torch
 
     import jax
@@ -206,6 +261,20 @@ def run_unet_and_ddim(mc, args, do_ddim: bool):
           flush=True)
     rows.append(_report(f"ddim{steps}_cfg_e2e_full256", out, out_ref,
                         time.time() - t0))
+
+    if do_pixels:
+        # Decode each framework's OWN latents through its OWN (matched
+        # random-weight) VAE decoder — a true end-to-end pixel PSNR, the
+        # same units as the BASELINE.md PSNR>40 gate. A frame subset keeps
+        # the single-core torch decode bounded.
+        t0 = time.time()
+        torch_dec, jax_dec = _vae_decoder_pair(mc)
+        sf = mc.scale_factor
+        idx = sorted({0, t // 2, t - 1})
+        px_ref = torch_dec((out_ref / sf)[:, :, idx])
+        px_ours = jax_dec((out / sf)[:, :, idx])
+        rows.append(_report(f"pixels_ddim{steps}_e2e",
+                            px_ours, px_ref, time.time() - t0))
     return rows
 
 
@@ -361,7 +430,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="configs/inference_256_v1.0.yaml")
     p.add_argument("--component", default="all",
-                   choices=["all", "unet", "ddim", "vae", "clip"])
+                   choices=["all", "unet", "ddim", "vae", "clip", "pixels"])
     p.add_argument("--steps", type=int, default=2)
     p.add_argument("--height", type=int, default=256)
     p.add_argument("--width", type=int, default=256)
@@ -382,9 +451,10 @@ def main():
         rows += run_clip(mc, args)
     if args.component in ("all", "vae"):
         rows += run_vae(mc, args)
-    if args.component in ("all", "unet", "ddim"):
+    if args.component in ("all", "unet", "ddim", "pixels"):
         rows += run_unet_and_ddim(
-            mc, args, do_ddim=args.component in ("all", "ddim"))
+            mc, args, do_ddim=args.component in ("all", "ddim", "pixels"),
+            do_pixels=args.component in ("all", "pixels"))
 
     if args.out:
         with open(args.out, "a") as f:
