@@ -5,7 +5,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from dynamicrafter_tpu.ops.fused_conv import fused_gn_silu_conv, supported
+from fused_conv import fused_gn_silu_conv, supported
 from dynamicrafter_tpu.ops.norms import GroupNorm
 
 

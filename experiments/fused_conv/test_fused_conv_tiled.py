@@ -5,7 +5,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from dynamicrafter_tpu.ops.fused_conv_tiled import fused_gn_silu_conv_tiled
+from fused_conv_tiled import fused_gn_silu_conv_tiled
 from dynamicrafter_tpu.ops.norms import GroupNorm
 
 
