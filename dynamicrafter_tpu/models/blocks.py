@@ -368,8 +368,14 @@ class SpatialConv(nn.Module):
     the folded conv2d takes the standard NHWC path: 1.07 vs 1.97 ms per
     ds1 conv, 2.3x on the whole GN-SiLU-conv-emb chain (round-3 probes).
 
-    Under the (dp, sp) mesh the merged axis carries ('dp','sp') nested —
-    (B: dp, T: sp) merges contiguously since B is the major factor.
+    Under an sp-sharded mesh the fold is NOT used: the (B, T)->(B*T) merge
+    of a T:'sp'-sharded axis interleaves shards whenever B > 1 (B is the
+    major factor, so global row b*T+t mixes every sp shard), and GSPMD
+    lowers the reshape as an all-to-all + permute pair around EVERY conv —
+    measured on the sp=8 flagship HLO (b=2 CFG): 120 extra all-to-alls.
+    The 5D (1,k,k) conv partitions cleanly over T instead (kernel extent 1
+    on the sharded axis; ~0.9 ms/conv slower single-chip, which is why the
+    fold stays the single-chip path).
     """
 
     features: int
@@ -390,8 +396,14 @@ class SpatialConv(nn.Module):
                           jnp.float32)
         dtype = self.dtype or x.dtype
         pad = k // 2
+        if _seq_sharded():
+            return (jax.lax.conv_general_dilated(
+                x.astype(dtype), kern.astype(dtype),
+                (1, self.stride, self.stride),
+                [(0, 0), (pad, pad), (pad, pad)],
+                dimension_numbers=("NTHWC", "THWIO", "NTHWC"))
+                + bias.astype(dtype))
         xb = x.reshape(b * t, h, w, c)
-        xb = constrain(xb, (DATA_AXIS, SEQ_AXIS), None, None, None)
         out = jax.lax.conv_general_dilated(
             xb.astype(dtype), kern[0].astype(dtype),
             (self.stride, self.stride), [(pad, pad), (pad, pad)],

@@ -158,15 +158,33 @@ def _build_level_specs(cfg: UNetConfig):
 class UNetModel(nn.Module):
     config: UNetConfig
     dtype: jnp.dtype = jnp.float32
+    # Per-LAYER nested remat (the reference's per-module grad checkpointing,
+    # lvdm/common.py:80-94 + use_checkpoint in openaimodel3d.py): each
+    # res/spatial/temporal layer becomes its own backward segment, so the
+    # 576x1024 backward holds one layer's intermediates at a time instead
+    # of the whole graph's (55.8 GB with a flat checkpoint, measured on
+    # v5e — a single outer jax.checkpoint cannot segment the backward; XLA
+    # schedules all recomputed segments concurrently). Identity for
+    # forward-only use; enable for training via
+    # TrainConfig.remat_policy="blocks".
+    remat_layers: bool = False
 
     def _make_layer(self, spec, name):
         cfg = self.config
         kind = spec[0]
+
+        def maybe_remat(cls, n_args):
+            # static_argnums counts self at 0; `deterministic` is the last
+            # positional arg of every block __call__ (n_args includes it)
+            if not self.remat_layers:
+                return cls
+            return nn.remat(cls, static_argnums=(n_args,))
+
         if kind == "conv_first":
             return conv_spatial(spec[1], name, dtype=self.dtype)
         if kind == "res":
             _, in_ch, out_ch = spec
-            return ResBlock(
+            return maybe_remat(ResBlock, 3)(
                 channels=in_ch, emb_channels=cfg.model_channels * 4,
                 dropout=cfg.dropout, out_channels=out_ch,
                 use_scale_shift_norm=cfg.use_scale_shift_norm,
@@ -176,7 +194,7 @@ class UNetModel(nn.Module):
         if kind == "spatial":
             ch = spec[1]
             heads, dim_head = cfg.heads_for(ch)
-            return SpatialTransformer(
+            return maybe_remat(SpatialTransformer, 3)(
                 in_channels=ch, n_heads=heads, d_head=dim_head,
                 depth=cfg.transformer_depth, dropout=cfg.dropout,
                 context_dim=cfg.context_dim,
@@ -187,7 +205,7 @@ class UNetModel(nn.Module):
         if kind == "temporal":
             ch = spec[1]
             heads, dim_head = cfg.heads_for(ch)
-            return TemporalTransformer(
+            return maybe_remat(TemporalTransformer, 2)(
                 in_channels=ch, n_heads=heads, d_head=dim_head,
                 depth=cfg.transformer_depth, dropout=cfg.dropout,
                 causal_attention=cfg.use_causal_attention,
@@ -216,7 +234,9 @@ class UNetModel(nn.Module):
             for i, block in enumerate(in_specs)
         ]
         if cfg.addition_attention:
-            self.init_attn = TemporalTransformer(
+            init_cls = (nn.remat(TemporalTransformer, static_argnums=(2,))
+                        if self.remat_layers else TemporalTransformer)
+            self.init_attn = init_cls(
                 in_channels=cfg.model_channels, n_heads=8,
                 d_head=cfg.num_head_channels, depth=cfg.transformer_depth,
                 causal_attention=False, relative_position=cfg.use_relative_position,
@@ -233,19 +253,29 @@ class UNetModel(nn.Module):
         self.out_conv = conv_spatial(cfg.out_channels, "out_conv", zero_init=True, dtype=self.dtype)
 
     def _apply_block(self, layers, specs, h, emb, context, deterministic):
+        from jax.ad_checkpoint import checkpoint_name
+
         for layer, spec in zip(layers, specs):
             kind = spec[0]
+            # positional calls: kwargs do not route through nn.remat's
+            # static_argnums when remat_layers is on
             if kind in ("conv_first",):
                 h = layer(h)
             elif kind == "res":
-                h = layer(h, emb, deterministic=deterministic)
+                h = layer(h, emb, deterministic)
             elif kind == "spatial":
-                h = layer(h, context=context, deterministic=deterministic)
+                h = layer(h, context, deterministic)
             elif kind == "temporal":
-                h = layer(h, deterministic=deterministic)
+                h = layer(h, deterministic)
             else:  # down / up
                 h = layer(h)
             h = constrain(h, DATA_AXIS, SEQ_AXIS, None, None, None)
+            # per-LAYER remat boundary (reference: per-module grad
+            # checkpointing, lvdm/common.py:80-94). Block-level boundaries
+            # are too coarse at 576x1024: one ds1 block's (res + spatial +
+            # temporal) backward segment alone holds ~10 GB of recomputed
+            # intermediates (measured 43.7 GB total vs 16 GB HBM).
+            h = checkpoint_name(h, "unet_block")
         return h
 
     def __call__(
@@ -276,12 +306,21 @@ class UNetModel(nn.Module):
 
         context = (context_text, context_img)
 
+        # Remat boundaries live in _apply_block (one per layer, name
+        # "unet_block"): checkpoint_name is an identity outside AD; under
+        # jax.checkpoint with save_only_these_names("unet_block") the
+        # backward holds ONLY layer-boundary tensors and recomputes within
+        # each layer — what makes the 576x1024 training step fit 16 GB HBM
+        # (dots_saveable needs 55.8 GB, measured).
+        from jax.ad_checkpoint import checkpoint_name
+
         h = constrain(x, DATA_AXIS, SEQ_AXIS, None, None, None)
         hs = []
         for i, (layers, specs) in enumerate(zip(self.input_layers, self._in_specs)):
             h = self._apply_block(layers, specs, h, emb, context, deterministic)
             if i == 0 and cfg.addition_attention:
-                h = self.init_attn(h, deterministic=deterministic)
+                h = self.init_attn(h, deterministic)
+                h = checkpoint_name(h, "unet_block")
             hs.append(h)
 
         h = self._apply_block(self.middle_layers, self._mid_spec, h, emb, context,

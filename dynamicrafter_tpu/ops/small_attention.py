@@ -109,10 +109,13 @@ def _small_t_attention(q, k, v, scale, interpret):
 
 
 def _xla_ref(q, k, v, scale):
-    s = jnp.einsum("gqhd,gkhd->ghqk", q.astype(jnp.float32),
+    # logits keep the large G axis on the 128-lane minor dim: a (T, T)-minor
+    # layout pads 8x on f32 TPU tiles (measured 360 MB vs 45 MB per layer in
+    # the 1024 training backward, which routes through this ref's vjp)
+    s = jnp.einsum("gqhd,gkhd->hqkg", q.astype(jnp.float32),
                    k.astype(jnp.float32)) * scale
-    att = jax.nn.softmax(s, axis=-1)
-    return jnp.einsum("ghqk,gkhd->gqhd", att.astype(v.dtype), v).astype(q.dtype)
+    att = jax.nn.softmax(s, axis=2)
+    return jnp.einsum("hqkg,gkhd->gqhd", att.astype(v.dtype), v).astype(q.dtype)
 
 
 def _vjp_fwd(q, k, v, scale, interpret):
@@ -208,10 +211,11 @@ def _small_t_attention_tmajor(q, k, v, scale, interpret):
 
 
 def _xla_ref_tmajor(q, k, v, scale):
-    s = jnp.einsum("bqghd,bkghd->bghqk", q.astype(jnp.float32),
+    # G on the minor (lane) axis — see _xla_ref
+    s = jnp.einsum("bqghd,bkghd->bhqkg", q.astype(jnp.float32),
                    k.astype(jnp.float32)) * scale
-    att = jax.nn.softmax(s, axis=-1)
-    return jnp.einsum("bghqk,bkghd->bqghd", att.astype(v.dtype),
+    att = jax.nn.softmax(s, axis=3)
+    return jnp.einsum("bhqkg,bkghd->bqghd", att.astype(v.dtype),
                       v).astype(q.dtype)
 
 

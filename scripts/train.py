@@ -40,6 +40,12 @@ def get_parser():
     p.add_argument("--dp", type=int, default=-1, help="data axis (-1: all)")
     p.add_argument("--sp", type=int, default=1, help="frame/seq axis")
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--remat_policy", choices=["auto", "dots", "blocks"],
+                   default="auto",
+                   help="grad-checkpoint policy: dots keeps matmul outputs "
+                        "(fastest, fits <=320x512); blocks keeps only UNet "
+                        "block boundaries (needed at 576x1024); auto picks "
+                        "by resolution")
     p.add_argument("--synthetic_data", action="store_true")
     p.add_argument("--loader", choices=["threads", "grain"], default="threads",
                    help="input pipeline: in-process decode threads or Grain "
@@ -133,8 +139,8 @@ def main():
         pipe.params = loaded.params
         log.info(f"loaded pretrained torch checkpoint {args.pretrained}")
     else:
-        image_size = model_cfg.params.get("image_size", [40, 64])
-        pipe.init_random(seed=args.seed, latent_hw=tuple(image_size))
+        pipe.init_random(seed=args.seed, latent_hw=tuple(
+            model_cfg.params.get("image_size", [40, 64])))
         if args.pretrained:
             from dynamicrafter_tpu.training.checkpoints import load_params
             pipe.params = load_params(args.pretrained, pipe.params)
@@ -142,8 +148,19 @@ def main():
         else:
             log.info("WARNING: random-init weights (no pretrained checkpoint)")
 
+    image_size = model_cfg.params.get("image_size", [40, 64])
+    if args.remat_policy == "auto":
+        # dots_saveable needs ~56 GB at 72x128 latents (measured on v5e);
+        # block-boundary remat is the 1024 recipe's memory policy
+        remat_policy = "blocks" if image_size[0] * image_size[1] > 40 * 64 \
+            else "dots"
+    else:
+        remat_policy = args.remat_policy
+    log.info(f"remat policy: {remat_policy}")
+
     tcfg = TrainConfig(
         learning_rate=lr,
+        remat_policy=remat_policy,
         grad_clip=grad_clip,
         accumulate_grad_batches=accum,
         uncond_prob=model_cfg.uncond_prob,

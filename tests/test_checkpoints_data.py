@@ -256,3 +256,54 @@ def test_grain_loader_worker_processes():
     assert len(a) == 8
     assert a == a2                       # deterministic for fixed count
     assert sorted(a) == sorted(c)        # same records either way
+
+
+def test_train_cli_1024_recipe_smoke(tmp_path):
+    """One train step through the REAL 576x1024 recipe YAML
+    (configs/training_1024_v1.0.yaml: v-param, base_scale 0.3, perframe_ae,
+    use_checkpoint/remat, dropout 0.1, fps conditioning, bs 1) with a tiny
+    width/depth overlay stacked via the CLI's multi-config merge — the same
+    code path as the on-chip 1024 training run (reference recipe:
+    /root/reference/configs/training_1024_v1.0/config.yaml)."""
+    import yaml
+
+    from dynamicrafter_tpu.testing import TINY_MODEL_CONFIG
+
+    tiny = TINY_MODEL_CONFIG["model"]["params"]
+    overlay = {
+        "model": {"params": {
+            "unet_config": {"params": {
+                "model_channels": 32,
+                "attention_resolutions": [2, 1],
+                "num_res_blocks": 1,
+                "channel_mult": [1, 2],
+                "num_head_channels": 16,
+                "context_dim": 48,
+                "temporal_length": 4,
+            }},
+            "first_stage_config": tiny["first_stage_config"],
+            "image_proj_stage_config": tiny["image_proj_stage_config"],
+            "clip_text_config": tiny["clip_text_config"],
+            "clip_vision_config": tiny["clip_vision_config"],
+        }},
+        "data": {"params": {"batch_size": 1, "train": {"params": {
+            "video_length": 4, "resolution": [16, 16]}}}},
+        "lightning": {"trainer": {"max_steps": 1}},
+    }
+    ov_path = tmp_path / "shrink_1024.yaml"
+    ov_path.write_text(yaml.dump(overlay))
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    res = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "train.py"),
+         "--config", os.path.join(repo, "configs", "training_1024_v1.0.yaml"),
+         str(ov_path), "--name", "smoke1024",
+         "--logdir", str(tmp_path / "logs"), "--synthetic_data",
+         "--max_steps", "1", "--log_every", "1", "--bf16"],
+        capture_output=True, text=True, env=env, timeout=1200, cwd=repo)
+    assert res.returncode == 0, res.stderr[-3000:]
+    csv = tmp_path / "logs" / "smoke1024" / "metrics.csv"
+    assert csv.exists() and "loss" in csv.read_text()

@@ -47,7 +47,12 @@ def _expected(cfg: UNetConfig):
     return n_temporal, n_tconv
 
 
-def test_sp8_collective_plan_matches_design():
+@pytest.mark.parametrize("b", [1, 2])
+def test_sp8_collective_plan_matches_design(b):
+    # b=2 (the CFG-batched shape) is load-bearing: a (B,T)->(B*T) conv fold
+    # of a T:'sp'-sharded axis interleaves shards whenever B>1, which GSPMD
+    # lowers as an all-to-all+permute around EVERY conv (caught round 3 —
+    # the b=1 plan could not see it)
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 (virtual) devices")
     cfg = UNetConfig(
@@ -60,7 +65,7 @@ def test_sp8_collective_plan_matches_design():
     unet = UNetModel(cfg, dtype=jnp.float32)
     n_temporal, n_tconv = _expected(cfg)
 
-    b, t, h, w = 1, 8, 8, 16
+    t, h, w = 8, 8, 16
     x = jnp.zeros((b, t, h, w, 8))
     ts = jnp.zeros((b,), jnp.int32)
     ct = jnp.zeros((b, 77, 48))

@@ -135,3 +135,42 @@ def test_accumulation_and_clipping(pipe):
     assert total_diff(state.params, s1.params) == 0.0
     s2, _ = step(s1, frozen, batch, jax.random.PRNGKey(1))
     assert total_diff(s1.params, s2.params) > 0.0
+
+
+def test_remat_blocks_policy_grads_exact(pipe):
+    """Per-block remat (save_only_these_names('unet_block') over the
+    checkpoint_name boundaries in UNetModel) must reproduce the plain
+    backward's gradients exactly — remat changes memory, never math.
+    This is the 576x1024 memory policy (dots_saveable needs ~56 GB there,
+    measured on v5e; reference per-module checkpointing:
+    lvdm/common.py:80-94)."""
+    import jax
+
+    cfg_d = TrainConfig(learning_rate=1e-3, parameterization="v",
+                        remat=True, remat_policy="dots", use_ema=False)
+    cfg_b = TrainConfig(learning_rate=1e-3, parameterization="v",
+                        remat=True, remat_policy="blocks", use_ema=False)
+    trainable = {"unet": pipe.params["unet"],
+                 "resampler": pipe.params["resampler"]}
+    frozen = {k: v for k, v in pipe.params.items() if k not in trainable}
+    batch = _batch(pipe)
+    rng = jax.random.PRNGKey(7)
+
+    grads = []
+    for cfg in (cfg_d, cfg_b):
+        import optax
+
+        tx = optax.sgd(cfg.learning_rate)
+        state, tx = create_train_state(trainable, cfg, tx=tx)
+        step = jax.jit(make_train_step(pipe, cfg, tx))
+        new_state, metrics = step(state, frozen, batch, rng)
+        # param delta under SGD is -lr * grad: compare deltas
+        delta = jax.tree_util.tree_map(lambda a, b: a - b,
+                                       new_state.params, state.params)
+        grads.append((delta, float(metrics["loss"])))
+
+    (d1, l1), (d2, l2) = grads
+    assert l1 == l2
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), d1, d2)
+    assert max(jax.tree_util.tree_leaves(diffs)) < 1e-6
