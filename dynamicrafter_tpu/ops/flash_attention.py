@@ -609,6 +609,10 @@ def flash_attention(
     if block_q == DEFAULT_BLOCK_Q and lq > 4096:
         # profiled at L=9216 ×5h: bq=1024 25.1 ms vs bq=512 26.8 ms
         block_q = 1024
+        if block_k == DEFAULT_BLOCK_K and lk % 2304 == 0:
+            # r3 sweep at L=9216 b=32: bk=2304 50.7 ms vs bk=1024 53.7 —
+            # exact division skips the padded-KV mask + fewer rescales
+            block_k = 2304
     block_q = min(block_q, round128(lq))
     if lk <= 2560:
         # single-KV-block: skips all online-softmax correction passes
