@@ -27,6 +27,27 @@ def set_default_backend(name: str) -> None:
     _BACKEND = name
 
 
+def _seq_mesh(axis_size: int):
+    """The active mesh if its 'sp' axis is >1 and divides axis_size.
+
+    Pallas custom calls are OPAQUE to GSPMD: without an explicit
+    shard_map, a sharded operand would be all-gathered around the kernel
+    (involuntary replication — the exact failure mode the collective-plan
+    test forbids). Kernel calls below therefore run under shard_map when
+    an sp mesh is active, so each device executes the kernel on its local
+    shard — the same per-shard shapes the docs/DESIGN.md projection
+    measures."""
+    from dynamicrafter_tpu.parallel.sharding import SEQ_AXIS, active_mesh
+
+    mesh = active_mesh()
+    if mesh is None:
+        return None
+    sp = mesh.shape.get(SEQ_AXIS, 1)
+    if sp <= 1 or axis_size % sp != 0:
+        return None
+    return mesh
+
+
 def _use_flash(q, k, mask, backend: str) -> bool:
     if backend == "xla":
         return False
@@ -135,6 +156,24 @@ def attention_axis1(
                 small_t_attention_tmajor,
             )
 
+            mesh = _seq_mesh(q.shape[2])
+            if mesh is not None:
+                from jax import shard_map
+                from jax.sharding import PartitionSpec as P
+
+                from dynamicrafter_tpu.parallel.sharding import (
+                    DATA_AXIS, SEQ_AXIS,
+                )
+
+                spec = P(DATA_AXIS if q.shape[0] % max(
+                    mesh.shape.get(DATA_AXIS, 1), 1) == 0 else None,
+                    None, SEQ_AXIS, None, None)
+                fn = shard_map(
+                    lambda a, b_, c: small_t_attention_tmajor(
+                        a, b_, c, scale=scale),
+                    mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+                    check_vma=False)
+                return fn(q, k, v)
             return small_t_attention_tmajor(q, k, v, scale=scale)
     mv = lambda x: jnp.moveaxis(x, 1, -3)
     out = dot_product_attention(mv(q), mv(k), mv(v), mask=mask, scale=scale,
@@ -165,5 +204,24 @@ def dot_product_attention(
 
         k = jnp.broadcast_to(k, q.shape[:-3] + k.shape[-3:])
         v = jnp.broadcast_to(v, q.shape[:-3] + v.shape[-3:])
+        mesh = _seq_mesh(q.shape[1]) if q.ndim == 5 else None
+        if mesh is not None:
+            # spatial attention under the sp mesh: T (axis 1) is sharded;
+            # run the kernel per-shard (see _seq_mesh)
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            from dynamicrafter_tpu.parallel.sharding import (
+                DATA_AXIS, SEQ_AXIS,
+            )
+
+            spec = P(DATA_AXIS if q.shape[0] % max(
+                mesh.shape.get(DATA_AXIS, 1), 1) == 0 else None,
+                SEQ_AXIS, None, None, None)
+            fn = shard_map(
+                lambda a, b_, c: flash_attention(a, b_, c, scale=scale),
+                mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+                check_vma=False)
+            return fn(q, k, v)
         return flash_attention(q, k, v, scale=scale)
     return xla_attention(q, k, v, mask=mask, scale=scale)
