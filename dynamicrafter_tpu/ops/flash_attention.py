@@ -20,6 +20,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -276,6 +277,13 @@ def _nlhd_vjp_fwd(q, k, v, heads, scale, block_q, block_k, interpret):
     qt, kt, vt = tr(q), tr(k), tr(v)
     out, lse = _flash_fwd(qt, kt, vt, scale, block_q, block_k, interpret,
                           save_lse=True)
+    # Name the kernel residuals so a remat policy can save them across the
+    # per-layer checkpoint boundary (save_only_these_names("flash_out",
+    # "flash_lse") in models/unet3d.py) — the backward segment then reuses
+    # them instead of re-running the flash forward. q/k/v residuals stay
+    # rematted (cheap projection dots; saving them would triple the cost).
+    out = checkpoint_name(out, "flash_out")
+    lse = checkpoint_name(lse, "flash_lse")
     out_nlhd = out.transpose(0, 2, 1, 3).reshape(n, lq, hd)
     return out_nlhd, (qt, kt, vt, out, lse)
 
