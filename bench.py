@@ -93,7 +93,8 @@ def _bench_conditioning(mc, b, h, w, dtype):
 
 
 def _bench_resolution(mc, b, h, w, steps, dtype, sequential_cfg,
-                      with_conditioning, cfg_both=False):
+                      with_conditioning, cfg_both=False,
+                      perframe_decode=True):
     import jax.numpy as jnp
 
     from dynamicrafter_tpu.models.unet3d import UNetConfig, UNetModel
@@ -194,20 +195,31 @@ def _bench_resolution(mc, b, h, w, steps, dtype, sequential_cfg,
     def decode_1f(params, z):
         return decoder.apply({"params": params}, z)
 
-    # per-frame decode (perframe_ae, reference ddpm3d.py:654-663); one frame
-    # timed, multiplied by T (frames are independent)
-    decode_seconds = t_len * time_once(
-        decode_1f, dparams, jnp.zeros((1, h, w, zc), dtype), repeats=2)
+    if perframe_decode:
+        # per-frame decode (perframe_ae, reference ddpm3d.py:654-663); one
+        # frame timed, multiplied by T (frames are independent)
+        decode_seconds = t_len * time_once(
+            decode_1f, dparams, jnp.zeros((1, h, w, zc), dtype), repeats=2)
+    else:
+        # batched decode of all T frames in one call (the reference's
+        # perframe_ae=False mode, used for its 256x256 baseline)
+        decode_seconds = time_once(
+            decode_1f, dparams, jnp.zeros((t_len, h, w, zc), dtype),
+            repeats=2)
 
     cond_seconds = (_bench_conditioning(mc, b, h, w, dtype)
                     if with_conditioning else 0.0)
 
+    # decode_seconds is per CLIP (16 frames); conditioning and the scan are
+    # one batched call covering all b clips. Per-clip e2e = total / b.
+    total_seconds = cond_seconds + scan_seconds + b * decode_seconds
     out = {
+        "batch": b,
         "cond_stage_s": round(cond_seconds, 3),
         "ddim50_cfg_scan_s": round(scan_seconds, 3),
         "unet_step_ms": round(scan_seconds / steps * 1000, 1),
         "vae_decode_16f_s": round(decode_seconds, 3),
-        "e2e_clip_s": round(cond_seconds + scan_seconds + decode_seconds, 2),
+        "e2e_clip_s": round(total_seconds / b, 2),
         "weights_baked": bake,
         "sequential_cfg": sequential_cfg,
     }
@@ -248,6 +260,31 @@ def main():
             detail["vae_decode_1024_16f_s"] = d1024["vae_decode_16f_s"]
             # A100 reference: 75 s/clip at 576x1024 (README.md:292-294)
             detail["vs_baseline_1024"] = round(75.0 / detail["clip_1024_s"], 3)
+        if os.environ.get("BENCH_256", "0") == "1":
+            # opt-in (keeps the driver's default bench run short): the
+            # reference's third headline row — 256x256, DDIM-50,
+            # perframe_ae=False i.e. batched decode, 10 s/clip on A100
+            # (README.md:296)
+            mc256 = ModelConfig.from_yaml(
+                os.path.join(here, "configs", "inference_256_v1.0.yaml"))
+            d256 = _bench_resolution(mc256, 1, 32, 32, STEPS, dtype,
+                                     sequential_cfg=False,
+                                     with_conditioning=True,
+                                     perframe_decode=False)
+            detail["clip_256_s"] = d256["e2e_clip_s"]
+            detail["unet_step_256_ms"] = d256["unet_step_ms"]
+            detail["vs_baseline_256"] = round(10.0 / d256["e2e_clip_s"], 3)
+        bb = int(os.environ.get("BENCH_BATCH", "0"))
+        if bb > 1:
+            # opt-in: throughput-optimized serving at 320x512 — b clips per
+            # batched-CFG scan (UNet batch 2b) amortizes the per-step weight
+            # reads; per-clip e2e = total / b (see _bench_resolution)
+            dbb = _bench_resolution(mc512, bb, 40, 64, STEPS, dtype,
+                                    sequential_cfg=False,
+                                    with_conditioning=True)
+            detail[f"clip_512_s_b{bb}"] = dbb["e2e_clip_s"]
+            detail[f"clips_per_min_b{bb}"] = round(60.0 / dbb["e2e_clip_s"],
+                                                   3)
         metric = "clips_per_min_per_chip_320x512"
     else:
         from dynamicrafter_tpu.testing import TINY_MODEL_CONFIG

@@ -318,7 +318,11 @@ def main():
                     sample_logger.maybe_log(step, batch)
                 finally:
                     pipe.params = saved
-    mngr.save(int(state.step), state, force=True)
+    # final save is idempotent: the loop may already have checkpointed this
+    # step (ckpt_every divides max_steps / SIGUSR1), and orbax raises
+    # StepAlreadyExistsError on a re-save rather than overwriting
+    if mngr.latest_step() != int(state.step):
+        mngr.save(int(state.step), state, force=True)
     mngr.wait()
     log.info(f"done at step {int(state.step)}")
 

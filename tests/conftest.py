@@ -14,6 +14,13 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+# Persistent compilation cache: XLA:CPU compiles of the jitted train/infer
+# steps dominate suite time (tens of minutes on a small-core box); cached
+# executables make re-runs fast. Propagates to subprocess tests via env.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/jax_dctpu_tests"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
+
 import jax
 
 # The axon plugin sets jax_platforms="axon,cpu" via jax.config at interpreter

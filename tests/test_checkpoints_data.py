@@ -189,6 +189,12 @@ def test_train_cli_smoke(tmp_path):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("PALLAS_AXON_POOL_IPS", None)
+    # single-device subprocess: these are CLI smokes (flags, loader, ckpt,
+    # logging). On the 8-virtual-device mesh the XLA:CPU compile of the
+    # dp=8 ZeRO train step exceeds the timeout on small-core machines;
+    # sharded training itself is covered by test_trainer.py and
+    # __graft_entry__.dryrun_multichip.
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     res = subprocess.run(
         [sys.executable, os.path.join(repo, "scripts", "train.py"),
@@ -296,6 +302,12 @@ def test_train_cli_1024_recipe_smoke(tmp_path):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("PALLAS_AXON_POOL_IPS", None)
+    # single-device subprocess: these are CLI smokes (flags, loader, ckpt,
+    # logging). On the 8-virtual-device mesh the XLA:CPU compile of the
+    # dp=8 ZeRO train step exceeds the timeout on small-core machines;
+    # sharded training itself is covered by test_trainer.py and
+    # __graft_entry__.dryrun_multichip.
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     res = subprocess.run(
         [sys.executable, os.path.join(repo, "scripts", "train.py"),
