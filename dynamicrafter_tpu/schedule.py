@@ -283,9 +283,12 @@ def build_schedule(
     ) + v_posterior * betas
 
     if parameterization == "eps":
-        lvlb_weights = betas**2 / (
-            2 * posterior_variance * alphas * (1 - alphas_cumprod)
-        )
+        # t=0 divides by posterior_variance[0] == 0 (inf, exactly like the
+        # reference, ddpm3d.py:166-171); element 0 is overwritten below.
+        with np.errstate(divide="ignore"):
+            lvlb_weights = betas**2 / (
+                2 * posterior_variance * alphas * (1 - alphas_cumprod)
+            )
     elif parameterization == "x0":
         lvlb_weights = 0.5 * np.sqrt(alphas_cumprod) / (2.0 * 1 - alphas_cumprod)
     elif parameterization == "v":
