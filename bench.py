@@ -148,9 +148,9 @@ def _bench_resolution(mc, b, h, w, steps, dtype, sequential_cfg,
         guidance_rescale=0.7, parameterization=mc.parameterization,
         sequential_cfg=sequential_cfg)
 
-    def unet_apply(p, xin, tsin, context_text, context_img, fs):
+    def unet_apply(p, xin, tsin, context_text, context_img, fs, **kw):
         return unet.apply({"params": p}, xin, tsin, context_text=context_text,
-                          context_img=context_img, fs=fs)
+                          context_img=context_img, fs=fs, **kw)
 
     # Weights are passed as runtime args (the serving reality: weights live
     # in HBM, one executable serves any checkpoint). Baking them as
@@ -225,6 +225,25 @@ def _bench_resolution(mc, b, h, w, steps, dtype, sequential_cfg,
     }
     if alt_scan_seconds is not None:
         out["ddim50_cfg_scan_alt_s"] = round(alt_scan_seconds, 3)
+
+    # Opt-in: DeepCache accelerated sampling (BENCH_DEEPCACHE=N). Reported
+    # as separate detail keys, never as the headline: it is an opt-in
+    # approximation (different outputs), not the parity workload.
+    dc = int(os.environ.get("BENCH_DEEPCACHE", "0"))
+    if dc > 1 and not bake:
+        import dataclasses as _dc2
+
+        dc_settings = _dc2.replace(settings, deepcache=dc)
+
+        def dc_scan(params, c, x0):
+            model_fn = make_cfg_denoiser(unet_apply, params, c, dc_settings)
+            return ddim_sample(model_fn, x0.astype(jnp.float32), schedule,
+                               table, dc_settings).astype(dtype)
+
+        dc_scan_seconds = time_once(dc_scan, uparams, cond, x, repeats=2)
+        out[f"ddim50_deepcache{dc}_scan_s"] = round(dc_scan_seconds, 3)
+        out[f"e2e_clip_s_deepcache{dc}"] = round(
+            (cond_seconds + dc_scan_seconds + b * decode_seconds) / b, 2)
     return out
 
 
@@ -258,6 +277,9 @@ def main():
                 detail["ddim50_cfg_scan_1024_alt_s"] = \
                     d1024["ddim50_cfg_scan_alt_s"]
             detail["vae_decode_1024_16f_s"] = d1024["vae_decode_16f_s"]
+            for k, v in d1024.items():
+                if "deepcache" in k:
+                    detail[f"{k}_1024"] = v
             # A100 reference: 75 s/clip at 576x1024 (README.md:292-294)
             detail["vs_baseline_1024"] = round(75.0 / detail["clip_1024_s"], 3)
         if os.environ.get("BENCH_256", "0") == "1":

@@ -63,7 +63,8 @@ class Image2Video:
 
     def get_image(self, image: np.ndarray, prompt: str, steps: int = 50,
                   cfg_scale: float = 7.5, eta: float = 1.0, fs: int = None,
-                  seed: int = 123, image2: Optional[np.ndarray] = None) -> str:
+                  seed: int = 123, image2: Optional[np.ndarray] = None,
+                  deepcache: int = 1) -> str:
         """image: (H, W, 3) uint8 or float [-1,1]; returns mp4 path."""
         from dynamicrafter_tpu.utils.video import save_video
 
@@ -89,6 +90,7 @@ class Image2Video:
             timestep_spacing=spec["timestep_spacing"],
             guidance_rescale=spec["guidance_rescale"], fs=[fs], seed=seed,
             loop_or_interp=self.mode in ("interp", "loop"),
+            deepcache=deepcache,
         )
         frames = out.videos[0, 0]
         if self.mode == "loop":

@@ -300,7 +300,18 @@ class UNetModel(nn.Module):
         context_img: Optional[jax.Array] = None,    # (B, T, Li, Cc)
         fs: Optional[jax.Array] = None,    # (B,)
         deterministic: bool = True,
+        cache: Optional[jax.Array] = None,
+        return_cache: bool = False,
     ) -> jax.Array:
+        """Denoise x. DeepCache seam (Ma et al., CVPR'24 — no reference
+        counterpart): `return_cache=True` additionally returns the deep
+        feature entering the top-level (ds1) output blocks; passing that
+        feature as `cache` runs a SHALLOW forward — only the ds1 input
+        blocks (for their skip connections), the cached deep feature, and
+        the ds1 output blocks — skipping every deeper level and the middle
+        block. shallow(x, t, cache=full_cache(x, t)) is bit-identical to
+        the full forward; reusing a cache across adjacent DDIM steps is the
+        (documented, opt-in) approximation."""
         cfg = self.config
         b, t = x.shape[0], x.shape[1]
         dtype = self.dtype
@@ -328,21 +339,41 @@ class UNetModel(nn.Module):
         # (dots_saveable needs 55.8 GB, measured).
         from jax.ad_checkpoint import checkpoint_name
 
+        # DeepCache seam: the top (ds1) level is conv_first + num_res_blocks
+        # input blocks and the last num_res_blocks+1 output blocks.
+        n_top_in = 1 + cfg.num_res_blocks
+        n_top_out = cfg.num_res_blocks + 1
+        if (cache is not None or return_cache) and len(cfg.channel_mult) < 2:
+            raise ValueError("DeepCache needs >=2 UNet levels")
+
         h = constrain(x, DATA_AXIS, SEQ_AXIS, None, None, None)
         hs = []
-        for i, (layers, specs) in enumerate(zip(self.input_layers, self._in_specs)):
+        in_blocks = list(zip(self.input_layers, self._in_specs))
+        if cache is not None:
+            in_blocks = in_blocks[:n_top_in]
+        for i, (layers, specs) in enumerate(in_blocks):
             h = self._apply_block(layers, specs, h, emb, context, deterministic)
             if i == 0 and cfg.addition_attention:
                 h = self.init_attn(h, deterministic)
                 h = checkpoint_name(h, "unet_block")
             hs.append(h)
 
-        h = self._apply_block(self.middle_layers, self._mid_spec, h, emb, context,
-                              deterministic)
-
-        for layers, specs in zip(self.output_layers, self._out_specs):
+        cache_out = None
+        if cache is not None:
+            h = cache.astype(dtype)
+            out_blocks = list(zip(self.output_layers, self._out_specs))[-n_top_out:]
+        else:
+            h = self._apply_block(self.middle_layers, self._mid_spec, h, emb,
+                                  context, deterministic)
+            out_blocks = list(zip(self.output_layers, self._out_specs))
+        seam = len(out_blocks) - n_top_out
+        for i, (layers, specs) in enumerate(out_blocks):
+            if i == seam and return_cache:
+                cache_out = h
             h = jnp.concatenate([h, hs.pop()], axis=-1)
             h = self._apply_block(layers, specs, h, emb, context, deterministic)
 
         h = self.out_conv(silu(self.out_norm(h)))
+        if return_cache:
+            return h, cache_out
         return h

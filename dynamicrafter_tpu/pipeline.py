@@ -354,10 +354,16 @@ class DynamiCrafterPipeline:
     # end-to-end sampling
     # ------------------------------------------------------------------
 
-    def _unet_apply(self, params, x, ts, context_text, context_img, fs):
+    def _unet_apply(self, params, x, ts, context_text, context_img, fs,
+                    cache=None, return_cache=False):
+        kw = {}
+        if cache is not None:
+            kw["cache"] = cache
+        if return_cache:
+            kw["return_cache"] = True
         return self.unet.apply({"params": params}, x, ts,
                                context_text=context_text,
-                               context_img=context_img, fs=fs)
+                               context_img=context_img, fs=fs, **kw)
 
     def _sampler(self, settings: SamplerSettings):
         """One jitted function per (settings) covering the FULL DDIM scan."""
@@ -410,6 +416,7 @@ class DynamiCrafterPipeline:
         decode: bool = True,
         negative_prompt: str = "",
         sequential_cfg: bool = False,
+        deepcache: int = 1,
         mask: Optional[np.ndarray] = None,   # (B,T,h,w,c) 1=keep x0 latent
         x0_latents: Optional[np.ndarray] = None,
     ):
@@ -437,6 +444,7 @@ class DynamiCrafterPipeline:
                 guidance_rescale=guidance_rescale,
                 parameterization=self.config.parameterization,
                 sequential_cfg=sequential_cfg,
+                deepcache=deepcache,
             )
             run = self._sampler(settings)
             variants = []

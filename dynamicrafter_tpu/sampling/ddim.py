@@ -45,6 +45,12 @@ class SamplerSettings:
     clean_cond: bool = False               # mask blending uses clean x0
     sequential_cfg: bool = False           # run CFG passes serially (memory
                                            # fallback for 1024-res single-chip)
+    deepcache: int = 1                     # N>1: recompute the UNet's deep
+                                           # levels every N steps, reuse the
+                                           # cached deep feature in between
+                                           # (DeepCache, Ma et al. CVPR'24;
+                                           # opt-in approximation, no
+                                           # reference counterpart)
 
 
 class CFGConditioning(NamedTuple):
@@ -82,24 +88,39 @@ def make_cfg_denoiser(
     """
     p = cond.num_passes
 
-    def model_fn(x: jax.Array, t: jax.Array) -> jax.Array:
+    def model_fn(x: jax.Array, t: jax.Array, cache=None, return_cache=False):
         b = x.shape[0]
         xc = x
+        # DeepCache kwargs are forwarded to unet_apply ONLY when in use, so
+        # plain 6-arg unet_apply callables (tests, bench) keep working.
+        dc_kw = {}
+        if return_cache:
+            dc_kw["return_cache"] = True
+        cache_out = None
         if settings.sequential_cfg and p > 1:
             # serial passes: peak activation memory of ONE pass (the
             # reference's layout, ddim.py:220-226) — for single-chip 1024
-            outs = []
+            outs, caches = [], []
             for i in range(p):
                 xi = xc if cond.concat is None else jnp.concatenate(
                     [xc, cond.concat[i]], axis=-1)
-                outs.append(unet_apply(
+                kw = dict(dc_kw)
+                if cache is not None:
+                    kw["cache"] = cache[i]
+                o = unet_apply(
                     params, xi, t,
                     context_text=cond.context_text[i],
                     context_img=(None if cond.context_img is None
                                  else cond.context_img[i]),
-                    fs=cond.fs,
-                ))
+                    fs=cond.fs, **kw,
+                )
+                if return_cache:
+                    o, c = o
+                    caches.append(c)
+                outs.append(o)
             out = jnp.stack(outs)
+            if return_cache:
+                cache_out = jnp.stack(caches)
         else:
             if cond.concat is not None:
                 # hybrid conditioning: per-pass channel concat
@@ -112,14 +133,19 @@ def make_cfg_denoiser(
             ctx_img = (None if cond.context_img is None
                        else flat(cond.context_img))
             fs = None if cond.fs is None else jnp.tile(cond.fs, p)
+            if cache is not None:
+                dc_kw["cache"] = cache
             out = unet_apply(
                 params, flat(xs), jnp.tile(t, p),
                 context_text=flat(cond.context_text),
-                context_img=ctx_img, fs=fs,
+                context_img=ctx_img, fs=fs, **dc_kw,
             )
+            if return_cache:
+                out, cache_out = out
             out = out.reshape(p, b, *out.shape[1:])
+        ret = lambda e: (e, cache_out) if return_cache else e
         if p == 1:
-            return out[0]
+            return ret(out[0])
         if p == 2:
             e_uc, e_c = out[0], out[1]
             e = e_uc + settings.cfg_scale * (e_c - e_uc)
@@ -131,7 +157,7 @@ def make_cfg_denoiser(
                  + settings.cfg_scale * (e_c - e_uc_img))
         if settings.guidance_rescale > 0.0:
             e = rescale_noise_cfg(e, e_c, settings.guidance_rescale)
-        return e
+        return ret(e)
 
     return model_fn
 
@@ -176,24 +202,21 @@ def ddim_sample(
 
     use_eta_noise = settings.eta > 0.0
 
-    def body(carry, step):
-        x, key = carry
-        t = jnp.full((b,), step["t"], dtype=jnp.int32)
+    def _blend(x, key, step, t):
+        if mask is None:
+            return x, key
+        assert x0 is not None
+        if settings.clean_cond:
+            img_orig = x0
+        else:
+            mnoise = step.get("mask_noise")
+            if mnoise is None:
+                key, sub = jax.random.split(key)
+                mnoise = jax.random.normal(sub, x.shape, x.dtype)
+            img_orig = schedule.q_sample(x0, t, mnoise)
+        return img_orig * mask + (1.0 - mask) * x, key
 
-        if mask is not None:
-            assert x0 is not None
-            if settings.clean_cond:
-                img_orig = x0
-            else:
-                mnoise = step.get("mask_noise")
-                if mnoise is None:
-                    key, sub = jax.random.split(key)
-                    mnoise = jax.random.normal(sub, x.shape, x.dtype)
-                img_orig = schedule.q_sample(x0, t, mnoise)
-            x = img_orig * mask + (1.0 - mask) * x
-
-        model_output = model_fn(x, t)
-
+    def _update(x, key, step, t, model_output):
         if settings.parameterization == "v":
             e_t = schedule.predict_eps_from_z_and_v(x, t, model_output)
             pred_x0 = schedule.predict_start_from_z_and_v(x, t, model_output)
@@ -215,10 +238,55 @@ def ddim_sample(
                       + step["sigma"] * n * settings.temperature)
         else:
             x_prev = jnp.sqrt(step["a_prev"]) * pred_x0 + dir_xt
-        return (x_prev, key), None
+        return x_prev, key
 
     if rng is None:
         rng = jax.random.PRNGKey(0)
+
+    if settings.deepcache > 1:
+        # DeepCache: outer scan over groups of N steps. Step 0 of each group
+        # runs the full UNet and emits the deep-feature cache; steps 1..N-1
+        # run as an INNER scan of shallow forwards closing over the cache —
+        # XLA compiles exactly two UNet graphs (one full, one shallow), no
+        # lax.cond and no per-step unrolled copies.
+        n_dc = settings.deepcache
+        if s % n_dc != 0:
+            raise ValueError(
+                f"deepcache interval {n_dc} must divide steps={s}")
+        grouped = jax.tree_util.tree_map(
+            lambda a: a.reshape(s // n_dc, n_dc, *a.shape[1:]), per_step)
+
+        def body_dc(carry, gsteps):
+            x, key = carry
+            step0 = jax.tree_util.tree_map(lambda a: a[0], gsteps)
+            t0 = jnp.full((b,), step0["t"], dtype=jnp.int32)
+            x, key = _blend(x, key, step0, t0)
+            model_output, cache = model_fn(x, t0, return_cache=True)
+            x, key = _update(x, key, step0, t0, model_output)
+
+            def shallow(carry2, step):
+                x2, key2 = carry2
+                t = jnp.full((b,), step["t"], dtype=jnp.int32)
+                x2, key2 = _blend(x2, key2, step, t)
+                out = model_fn(x2, t, cache=cache)
+                x2, key2 = _update(x2, key2, step, t, out)
+                return (x2, key2), None
+
+            rest = jax.tree_util.tree_map(lambda a: a[1:], gsteps)
+            (x, key), _ = jax.lax.scan(shallow, (x, key), rest)
+            return (x, key), None
+
+        (x, _), _ = jax.lax.scan(body_dc, (x_T, rng), grouped)
+        return x
+
+    def body(carry, step):
+        x, key = carry
+        t = jnp.full((b,), step["t"], dtype=jnp.int32)
+        x, key = _blend(x, key, step, t)
+        model_output = model_fn(x, t)
+        x, key = _update(x, key, step, t, model_output)
+        return (x, key), None
+
     (x, _), _ = jax.lax.scan(body, (x_T, rng), per_step)
     return x
 
