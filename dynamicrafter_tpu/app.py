@@ -71,6 +71,11 @@ class Image2Video:
         spec = self.spec
         fs = spec["fs"] if fs is None else fs  # `or` would swallow fs=0
         t = self.pipe.unet_config.temporal_length or 16
+        if deepcache > 1 and steps % deepcache != 0:
+            # UI affordance: snap to the largest divisor of steps <= the
+            # requested interval (the pipeline itself is strict)
+            deepcache = max(d for d in range(1, deepcache + 1)
+                            if steps % d == 0)
 
         def prep(img):
             if img.dtype == np.uint8:
@@ -184,10 +189,14 @@ def launch_app(resolution: str = "320_512", ckpt_path: Optional[str] = None,
             seed = gr.Slider(0, max_seed, value=123, step=1,
                              label="Random Seed")
             rnd = gr.Button("\U0001f3b2️")
+        deepcache = gr.Slider(1, 10, value=1, step=1,
+                              label="DeepCache interval (1 = off; N>1 "
+                                    "reuses deep UNet features for faster, "
+                                    "slightly approximate sampling)")
         import random as _random
         rnd.click(fn=lambda: _random.randint(0, max_seed), outputs=seed,
                   queue=False)
-        return prompt, steps, cfg, eta, fs, seed
+        return prompt, steps, cfg, eta, fs, seed, deepcache
 
     h, w = spec["height"], spec["width"]
     with gr.Blocks() as demo:
@@ -198,7 +207,8 @@ def launch_app(resolution: str = "320_512", ckpt_path: Optional[str] = None,
             with gr.Row():
                 with gr.Column():
                     image = gr.Image(label="Input Image")
-                    prompt, steps, cfg, eta, fs, seed = build_controls()
+                    (prompt, steps, cfg, eta, fs, seed,
+                     deepcache) = build_controls()
                     go = gr.Button("Generate")
                 with gr.Column():
                     video = gr.Video(label="Generated Video", autoplay=True)
@@ -210,7 +220,8 @@ def launch_app(resolution: str = "320_512", ckpt_path: Optional[str] = None,
                             fn=lambda *a: _run(get_backend("i2v"), *a),
                             cache_examples=False)
             go.click(lambda *a: _run(get_backend("i2v"), *a),
-                     inputs=[image, prompt, steps, cfg, eta, fs, seed],
+                     inputs=[image, prompt, steps, cfg, eta, fs, seed,
+                             deepcache],
                      outputs=[video])
 
         with gr.Tab(label=f"Interpolation_{h}x{w}"):
@@ -218,21 +229,23 @@ def launch_app(resolution: str = "320_512", ckpt_path: Optional[str] = None,
                 with gr.Column():
                     image_a = gr.Image(label="First Frame")
                     image_b = gr.Image(label="Last Frame")
-                    (prompt2, steps2, cfg2, eta2, fs2, seed2) = build_controls()
+                    (prompt2, steps2, cfg2, eta2, fs2, seed2,
+                     deepcache2) = build_controls()
                     go2 = gr.Button("Generate")
                 with gr.Column():
                     video2 = gr.Video(label="Generated Video", autoplay=True)
             go2.click(lambda im, im2, *a: _run(get_backend("interp"), im, *a,
                                                image2=im2),
                       inputs=[image_a, image_b, prompt2, steps2, cfg2, eta2,
-                              fs2, seed2],
+                              fs2, seed2, deepcache2],
                       outputs=[video2])
 
         with gr.Tab(label=f"Looping_{h}x{w}"):
             with gr.Row():
                 with gr.Column():
                     image3 = gr.Image(label="Input Image")
-                    (prompt3, steps3, cfg3, eta3, fs3, seed3) = build_controls()
+                    (prompt3, steps3, cfg3, eta3, fs3, seed3,
+                     deepcache3) = build_controls()
                     go3 = gr.Button("Generate")
                 with gr.Column():
                     video3 = gr.Video(label="Generated Video", autoplay=True)
@@ -240,7 +253,8 @@ def launch_app(resolution: str = "320_512", ckpt_path: Optional[str] = None,
             # i2v_test_application.py:104-105)
             go3.click(lambda im, *a: _run(get_backend("loop"), im, *a,
                                           image2=im),
-                      inputs=[image3, prompt3, steps3, cfg3, eta3, fs3, seed3],
+                      inputs=[image3, prompt3, steps3, cfg3, eta3, fs3, seed3,
+                              deepcache3],
                       outputs=[video3])
 
     if not launch:
@@ -248,6 +262,8 @@ def launch_app(resolution: str = "320_512", ckpt_path: Optional[str] = None,
     return demo.launch(**launch_kwargs)
 
 
-def _run(backend, image, prompt, steps, cfg, eta, fs, seed, image2=None):
+def _run(backend, image, prompt, steps, cfg, eta, fs, seed, deepcache=1,
+         image2=None):
     return backend.get_image(image, prompt, int(steps), float(cfg),
-                             float(eta), int(fs), int(seed), image2=image2)
+                             float(eta), int(fs), int(seed), image2=image2,
+                             deepcache=int(deepcache))
