@@ -150,9 +150,11 @@ def main():
 
     image_size = model_cfg.params.get("image_size", [40, 64])
     if args.remat_policy == "auto":
-        # dots_saveable needs ~56 GB at 72x128 latents (measured on v5e);
-        # block-boundary remat is the 1024 recipe's memory policy
-        remat_policy = "blocks" if image_size[0] * image_size[1] > 40 * 64 \
+        # dots_saveable needs ~56 GB at 72x128 latents and fails to even
+        # compile at 40x64 b=2 on v5e (scripts/train_probe.py: dots/
+        # dots_flash FAILED, blocks 1071 ms/step); flat remat only fits
+        # the 256 recipe, so auto uses per-layer block remat above it
+        remat_policy = "blocks" if image_size[0] * image_size[1] > 32 * 32 \
             else "dots"
     else:
         remat_policy = args.remat_policy
