@@ -44,6 +44,10 @@ class SDSSettings:
     ddim_grid_steps: int = 50
     timestep_spacing: str = "uniform"
     log_every: int = 50
+    # reference guidance_pipeline.py:769-774: AdamW betas (0.9, 0.99),
+    # Adam betas (0.9, 0.999), both eps 1e-8 (torch AdamW wd default 1e-2)
+    optimizer_type: str = "Adam"        # Adam | AdamW
+    negative_prompt: str = ""           # uncond text (guidance CLI:152-153)
 
 
 class SDSGuidancePipeline:
@@ -139,14 +143,21 @@ class SDSGuidancePipeline:
         rng = jax.random.PRNGKey(seed)
         rng, enc_rng, init_rng = jax.random.split(rng, 3)
         cond = pipe.build_conditioning(
-            prompts, videos, enc_rng, cfg_scale=s.cfg_scale, fs=fs)
+            prompts, videos, enc_rng, cfg_scale=s.cfg_scale, fs=fs,
+            negative_prompt=s.negative_prompt)
 
         if init_latents is not None:
             latents = jnp.asarray(init_latents)
         else:
             latents = jax.random.normal(init_rng, lat_shape, jnp.float32)
 
-        tx = optax.adam(s.lr)
+        if s.optimizer_type == "AdamW":
+            tx = optax.adamw(s.lr, b1=0.9, b2=0.99, eps=1e-8,
+                             weight_decay=1e-2)
+        elif s.optimizer_type == "Adam":
+            tx = optax.adam(s.lr, b1=0.9, b2=0.999, eps=1e-8)
+        else:
+            raise ValueError(f"unknown optimizer_type {s.optimizer_type!r}")
         opt_state = tx.init(latents)
         chunk = self._make_step(cond, tx)
 

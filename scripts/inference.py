@@ -48,6 +48,12 @@ def get_parser():
     p.add_argument("--timestep_spacing", type=str, default="uniform")
     p.add_argument("--guidance_rescale", type=float, default=0.0)
     p.add_argument("--perframe_ae", action="store_true")
+    p.add_argument("--use_fixed_scheduler", action="store_true",
+                   help="accepted for reference-CLI compatibility "
+                        "(inference.py:408): the fork's NaN-free sigma-table "
+                        "patch (dynamicrafter_pipeline.py:21-65) is subsumed "
+                        "here — schedule tables are always fp64 with an "
+                        "eps-guarded rescale (schedule.py)")
     p.add_argument("--loop", action="store_true")
     p.add_argument("--interp", action="store_true")
     p.add_argument("--savefps", type=int, default=10)

@@ -56,6 +56,64 @@ def test_sds_debug_dumps(pipe, tmp_path):
     assert os.path.exists(tmp_path / "d" / "loss_analysis.png")
 
 
+def test_sds_optimizer_types(pipe):
+    """AdamW vs Adam (reference guidance_pipeline.py:769-774) both optimize
+    and produce different trajectories (wd + beta2 differ)."""
+    vids = np.random.default_rng(0).uniform(
+        -1, 1, (1, 4, 16, 16, 3)).astype(np.float32)
+    outs = {}
+    for opt in ("Adam", "AdamW"):
+        sds = SDSGuidancePipeline(pipe, SDSSettings(
+            num_steps=2, log_every=2, lr=0.05, cfg_scale=2.0,
+            ddim_grid_steps=4, timestep_spacing="uniform_trailing",
+            optimizer_type=opt, negative_prompt="blurry"))
+        outs[opt] = sds(["a cat"], vids, seed=1, fs=[3], decode=False)
+        assert np.all(np.isfinite(outs[opt]["latents"]))
+    assert not np.allclose(outs["Adam"]["latents"], outs["AdamW"]["latents"])
+    with pytest.raises(ValueError):
+        SDSGuidancePipeline(pipe, SDSSettings(
+            num_steps=2, log_every=2, ddim_grid_steps=4,
+            optimizer_type="sgd"))(["a cat"], vids, seed=1, fs=[3])
+
+
+def test_guidance_cli_single_sample_mode(tmp_path):
+    """The reference's own input mode (--prompt + --condition_image,
+    generate_dynamicrafter_pipeline.py:86-91) plus its flag spellings
+    (--num_optimization_steps/--learning_rate/--guidance_scale/
+    --optimizer_type/--save_results)."""
+    import yaml
+    from PIL import Image
+
+    cfg_path = tmp_path / "tiny.yaml"
+    cfg_path.write_text(yaml.dump(TINY_MODEL_CONFIG))
+    img_path = tmp_path / "cond.png"
+    Image.fromarray(
+        (np.random.default_rng(0).uniform(0, 255, (20, 20, 3))
+         ).astype(np.uint8)).save(img_path)
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    res = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "generate_guidance.py"),
+         "--config", str(cfg_path), "--random_init",
+         "--prompt", "a spinning top", "--condition_image", str(img_path),
+         "--output_dir", str(tmp_path / "out"),
+         "--height", "16", "--width", "16", "--num_frames", "4",
+         "--num_optimization_steps", "2", "--learning_rate", "0.05",
+         "--guidance_scale", "2.0", "--optimizer_type", "Adam",
+         "--debug_save_interval", "2", "--save_results",
+         "--min_step_ratio_end", "0.5", "--device", "cuda:3"],
+        capture_output=True, text=True, env=env, timeout=1200, cwd=repo)
+    assert res.returncode == 0, res.stderr[-3000:]
+    assert list((tmp_path / "out").glob("*.mp4")), "no output video"
+    assert list((tmp_path / "out").glob("*_loss.npy"))
+    # --save_results routed the debug dumps under <savedir>/debug
+    assert (tmp_path / "out" / "debug" / "cond").exists()
+    assert "min_step_ratio_end" in res.stdout  # dead-flag warning surfaced
+
+
 def test_inference_cli_smoke(tmp_path):
     """scripts/inference.py end-to-end on the tiny config + prompt dir."""
     import yaml
