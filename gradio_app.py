@@ -14,6 +14,12 @@ if __name__ == "__main__":
     parser.add_argument("--ckpt_path", type=str, default=None)
     parser.add_argument("--random_init", action="store_true")
     parser.add_argument("--share", action="store_true")
+    parser.add_argument("--compile_cache_dir", type=str, default=None,
+                        help="persistent XLA compile cache: app restarts "
+                             "skip the UNet compile (utils/compile_cache.py)")
     args = parser.parse_args()
+    if args.compile_cache_dir:
+        from dynamicrafter_tpu.utils.compile_cache import enable
+        enable(args.compile_cache_dir)
     launch_app(resolution=args.res, ckpt_path=args.ckpt_path,
                random_init=args.random_init, share=args.share)

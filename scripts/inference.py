@@ -76,6 +76,11 @@ def get_parser():
                         "for 576x1024 on a single chip)")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="capture a jax.profiler trace of the first batch")
+    p.add_argument("--compile_cache_dir", type=str, default=None,
+                   help="persistent XLA compilation cache: later runs with "
+                        "the same shapes skip the 20 s-35 min UNet compile "
+                        "(utils/compile_cache.py; JAX_COMPILATION_CACHE_DIR "
+                        "works too)")
     return p
 
 
@@ -95,6 +100,10 @@ def main(args=None, prompt_shard=(0, 1)):
     import jax
     import jax.numpy as jnp
     import numpy as np
+
+    if args.compile_cache_dir:
+        from dynamicrafter_tpu.utils.compile_cache import enable
+        enable(args.compile_cache_dir)
 
     from dynamicrafter_tpu.config import ModelConfig
     from dynamicrafter_tpu.parallel.sharding import create_mesh

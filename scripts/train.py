@@ -27,12 +27,33 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 def get_parser():
     p = argparse.ArgumentParser()
-    p.add_argument("--config", type=str, nargs="+", required=True)
+    p.add_argument("--config", "--base", "-b", dest="config", type=str,
+                   nargs="+", required=True,
+                   help="YAML config(s), merged left-to-right (reference "
+                        "--base/-b, main/trainer.py:19-21)")
     p.add_argument("--name", type=str, default="run")
     p.add_argument("--logdir", type=str, default="./logs")
     p.add_argument("--pretrained", type=str, default=None,
                    help="torch .ckpt (converted) or orbax params dir")
-    p.add_argument("--auto_resume", action="store_true")
+    p.add_argument("--auto_resume", action="store_true",
+                   help="resume full train state (step/opt/EMA) from the "
+                        "latest checkpoint (reference trainer.py:27)")
+    p.add_argument("--auto_resume_weight_only", action="store_true",
+                   help="resume weights + EMA only: fresh optimizer and "
+                        "step counter (reference trainer.py:28)")
+    p.add_argument("--train", "-t", action="store_true",
+                   help="accepted for reference-CLI compatibility "
+                        "(trainer.py:22) — this CLI always trains")
+    p.add_argument("--val", "-v", action="store_true",
+                   help="accepted for compatibility (trainer.py:23); use "
+                        "--val_every N for in-training validation")
+    p.add_argument("--test", action="store_true",
+                   help="accepted for compatibility (trainer.py:24); no "
+                        "separate test loop exists (none does meaningful "
+                        "work in the reference configs either)")
+    p.add_argument("--debug", "-d", action="store_true",
+                   help="verbose (DEBUG-level) logging (reference "
+                        "trainer.py:29 post-mortem equivalent)")
     p.add_argument("--max_steps", type=int, default=None)
     p.add_argument("--bs", type=int, default=None)
     p.add_argument("--lr", type=float, default=None)
@@ -59,6 +80,9 @@ def get_parser():
                    help="validation loss (with/without EMA) every N steps")
     p.add_argument("--vocab_path", default=None,
                    help="CLIP BPE vocab (bpe_simple_vocab_16e6.txt.gz)")
+    p.add_argument("--compile_cache_dir", type=str, default=None,
+                   help="persistent XLA compile cache: restarts/resumes "
+                        "skip the train-step compile (utils/compile_cache.py)")
     return p
 
 
@@ -78,6 +102,10 @@ def main():
     import jax.numpy as jnp
     import numpy as np
     import yaml
+
+    if args.compile_cache_dir:
+        from dynamicrafter_tpu.utils.compile_cache import enable
+        enable(args.compile_cache_dir)
 
     from dynamicrafter_tpu.config import ModelConfig
     from dynamicrafter_tpu.data.webvid import (
@@ -101,6 +129,9 @@ def main():
     workdir = os.path.join(args.logdir, args.name)
     os.makedirs(workdir, exist_ok=True)
     log = setup_logger(workdir)
+    if args.debug:
+        import logging as _logging
+        log.setLevel(_logging.DEBUG)
 
     model_cfg = ModelConfig(raw)
     lightning = raw.get("lightning", {})
@@ -201,6 +232,15 @@ def main():
         if restored is not None:
             state = restored
             log.info(f"resumed from step {int(state.step)}")
+    elif args.auto_resume_weight_only:
+        # reference trainer.py:28 / utils_train.py:138-160: load weights
+        # (+EMA shadow) from the latest checkpoint, fresh optimizer + step
+        restored = mngr.restore(state)
+        if restored is not None:
+            state = state.replace(params=restored.params,
+                                  ema_params=restored.ema_params)
+            log.info("weight-only resume from step "
+                     f"{int(restored.step)} (optimizer/step reset)")
 
     # data — the batch key feeding the UNet's fps_embedding follows
     # fps_condition_type (reference ddpm3d.py:1118-1121): 'fps' -> real

@@ -207,6 +207,22 @@ def test_train_cli_smoke(tmp_path):
     ckdir = tmp_path / "logs" / "smoke" / "checkpoints"
     assert any(os.scandir(ckdir)), "no checkpoint written"
 
+    # weight-only resume (reference trainer.py:28): weights + EMA restored,
+    # fresh optimizer and step counter — the run starts again from step 0.
+    # Also exercises the reference --base/-b config spelling.
+    res2 = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "train.py"),
+         "--base", str(cfg_path), "--name", "smoke",
+         "--logdir", str(tmp_path / "logs"), "--synthetic_data",
+         "--max_steps", "1", "--log_every", "1",
+         "--auto_resume_weight_only"],
+        capture_output=True, text=True, env=env, timeout=1200, cwd=repo)
+    assert res2.returncode == 0, res2.stderr[-3000:]
+    train_log = (tmp_path / "logs" / "smoke" / "train.log").read_text()
+    assert "weight-only resume from step 3" in train_log
+    # the step counter restarted: the resumed run logs step 1 again
+    assert "step 1:" in train_log.split("weight-only resume")[-1]
+
 
 def test_grain_loader_matches_schema_and_shards():
     """GrainDataLoader (process-worker pipeline option) yields the same

@@ -88,3 +88,44 @@ def test_hash_tokenizer_structure():
     assert out[1, 1] == tok.eot
     # deterministic
     np.testing.assert_array_equal(out, tok(["hello world", ""]))
+
+
+def test_compile_cache_populates_and_hits(tmp_path):
+    """utils/compile_cache.enable: a jitted graph serializes into the cache
+    dir and a FRESH PROCESS with the same graph loads it instead of
+    recompiling (serving cold-start elimination; measured on the real TPU
+    in docs/SERVING.md)."""
+    import subprocess
+    import sys
+
+    prog = """
+import sys, jax, jax.numpy as jnp
+from dynamicrafter_tpu.utils.compile_cache import enable
+enable(sys.argv[1])
+import logging
+rec = []
+h = logging.Handler()
+h.emit = lambda r: rec.append(r.getMessage())
+logging.getLogger("jax._src.compiler").addHandler(h)
+logging.getLogger("jax._src.compiler").setLevel(logging.DEBUG)
+out = jax.jit(lambda x: jnp.tanh(x @ x).sum())(jnp.ones((64, 64)))
+assert out.shape == ()
+print("HIT" if any("Persistent compilation cache hit" in m for m in rec)
+      else "MISS")
+"""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    cache = tmp_path / "xla_cache"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r1 = subprocess.run([sys.executable, "-c", prog, str(cache)],
+                        capture_output=True, text=True, env=env, cwd=repo,
+                        timeout=300)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    assert "MISS" in r1.stdout
+    assert any(cache.iterdir()), "cache dir not populated"
+    r2 = subprocess.run([sys.executable, "-c", prog, str(cache)],
+                        capture_output=True, text=True, env=env, cwd=repo,
+                        timeout=300)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "HIT" in r2.stdout
