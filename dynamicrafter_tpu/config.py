@@ -19,6 +19,14 @@ _TARGET_ROLES = {
     "IdentityFirstStage": "vae_identity",
     "FrozenOpenCLIPEmbedder": "clip_text",
     "FrozenOpenCLIPImageEmbedderV2": "clip_vision",
+    # alternate encoders in the reference registry (models/encoders.py)
+    "FrozenCLIPEmbedder": "clip_text_hf",
+    "FrozenT5Embedder": "t5_text",
+    "FrozenCLIPT5Encoder": "clip_t5_text",
+    "ClipImageEmbedder": "clip_vision_pooled",
+    "FrozenOpenCLIPImageEmbedder": "clip_vision_pooled",
+    "ClassEmbedder": "class_embed",
+    "IdentityEncoder": "identity",
     "Resampler": "resampler",
     "ImageProjModel": "image_proj",
     "LatentVisualDiffusion": "model",

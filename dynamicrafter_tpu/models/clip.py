@@ -40,11 +40,15 @@ class CLIPVisionConfig:
     layers: int = 32
     patch_size: int = 14
     image_size: int = 224
+    act: str = "gelu"  # "quick_gelu" for OpenAI clip ViT-L (ClipImageEmbedder)
 
 
 class ResidualAttentionBlock(nn.Module):
     width: int
     heads: int
+    # "gelu" (open_clip ViT-H) or "quick_gelu" (OpenAI/HF CLIP ViT-L —
+    # transformers CLIPTextConfig.hidden_act for openai/clip-vit-large-patch14)
+    act: str = "gelu"
 
     @nn.compact
     def __call__(self, x: jax.Array, mask: Optional[jax.Array] = None) -> jax.Array:
@@ -63,7 +67,10 @@ class ResidualAttentionBlock(nn.Module):
         x = x + dense("out_proj", self.width)(attn)
         h = ln("ln_2")(x).astype(x.dtype)
         h = dense("c_fc", self.width * 4)(h)
-        h = jax.nn.gelu(h, approximate=False)
+        if self.act == "quick_gelu":
+            h = h * jax.nn.sigmoid(1.702 * h)
+        else:
+            h = jax.nn.gelu(h, approximate=False)
         x = x + dense("c_proj", self.width)(h)
         return x
 
@@ -212,6 +219,6 @@ class CLIPVisionEncoder(nn.Module):
         x = nn.LayerNorm(epsilon=1e-5, name="ln_pre", dtype=jnp.float32,
                          param_dtype=jnp.float32)(x).astype(self.dtype)
         for i in range(cfg.layers):
-            x = ResidualAttentionBlock(cfg.width, cfg.heads,
+            x = ResidualAttentionBlock(cfg.width, cfg.heads, act=cfg.act,
                                        name=f"resblocks_{i}")(x)
         return x

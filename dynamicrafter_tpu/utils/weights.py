@@ -408,6 +408,108 @@ def convert_clip_vision(sd: Mapping[str, np.ndarray]) -> Dict:
     return tree
 
 
+def convert_clip_vision_pooled(sd: Mapping[str, np.ndarray]) -> Dict:
+    """Pooled ViT image embedders (models/encoders.py::CLIPVisionPooled).
+
+    Same 'model.visual.' layout as convert_clip_vision (OpenAI clip and
+    open_clip ViTs share it) but keeps ln_post + proj for the pooled head.
+    """
+    body = {k: v for k, v in sd.items()
+            if not k.startswith(("model.visual.ln_post", "model.visual.proj"))}
+    tree: Dict = {"visual": convert_clip_vision(body)}
+    for key, w in sd.items():
+        w = np.asarray(w, dtype=np.float32)
+        if key.startswith("model.visual.ln_post"):
+            _set(tree, ("ln_post",
+                        "scale" if key.endswith("weight") else "bias"), w)
+        elif key == "model.visual.proj":  # used as x @ proj -> no transpose
+            _set(tree, ("proj",), w)
+    return tree
+
+
+def convert_hf_clip_text(sd: Mapping[str, np.ndarray]) -> Dict:
+    """HF CLIPTextModel state dict (FrozenCLIPEmbedder's 'transformer.').
+
+    Keys start 'text_model.' (models/encoders.py::HFCLIPTextEncoder).
+    """
+    tree: Dict = {}
+    for key, w in sd.items():
+        parts = key.split(".")
+        if parts[0] != "text_model":
+            if parts[-1] in ("position_ids",):
+                continue
+            raise KeyError(f"unhandled HF CLIP text key: {key}")
+        parts = parts[1:]
+        if parts[-1] == "position_ids":  # registered buffer in old versions
+            continue
+        w = np.asarray(w, dtype=np.float32)
+        if parts[:2] == ["embeddings", "token_embedding"]:
+            _set(tree, ("token_embedding",), w)
+        elif parts[:2] == ["embeddings", "position_embedding"]:
+            _set(tree, ("positional_embedding",), w)
+        elif parts[0] == "final_layer_norm":
+            _set(tree, ("ln_final",
+                        "scale" if parts[-1] == "weight" else "bias"), w)
+        elif parts[:2] == ["encoder", "layers"]:
+            i = int(parts[2])
+            base = (f"resblocks_{i}",)
+            sub, leaf = parts[3], parts[-1]
+            is_weight = leaf == "weight"
+            if sub == "self_attn":
+                name = parts[4]  # q_proj/k_proj/v_proj/out_proj
+                _set(tree, base + (name, "kernel" if is_weight else "bias"),
+                     _t(w) if is_weight else w)
+            elif sub in ("layer_norm1", "layer_norm2"):
+                name = "ln_1" if sub == "layer_norm1" else "ln_2"
+                _set(tree, base + (name, "scale" if is_weight else "bias"), w)
+            elif sub == "mlp":
+                name = "c_fc" if parts[4] == "fc1" else "c_proj"
+                _set(tree, base + (name, "kernel" if is_weight else "bias"),
+                     _t(w) if is_weight else w)
+            else:
+                raise KeyError(f"unhandled HF CLIP text key: {key}")
+        else:
+            raise KeyError(f"unhandled HF CLIP text key: {key}")
+    return tree
+
+
+def convert_t5_encoder(sd: Mapping[str, np.ndarray]) -> Dict:
+    """HF T5EncoderModel state dict (models/encoders.py::T5Encoder).
+
+    All Linears are bias-free; 'shared' and 'encoder.embed_tokens' are the
+    same tensor (either populates token_embedding).
+    """
+    tree: Dict = {}
+    for key, w in sd.items():
+        w = np.asarray(w, dtype=np.float32)
+        parts = key.split(".")
+        if key in ("shared.weight", "encoder.embed_tokens.weight"):
+            _set(tree, ("token_embedding",), w)
+        elif key == "encoder.final_layer_norm.weight":
+            _set(tree, ("ln_final", "scale"), w)
+        elif parts[:2] == ["encoder", "block"]:
+            i = int(parts[2])
+            base = (f"blocks_{i}",)
+            # encoder.block.i.layer.{0,1}.<module>...
+            which, mod = parts[4], parts[5]
+            if mod == "SelfAttention":
+                name = parts[6]
+                if name == "relative_attention_bias":
+                    _set(tree, ("rel_bias",), w)  # shared, lives on layer 0
+                else:  # q/k/v/o, weight only
+                    _set(tree, base + (name, "kernel"), _t(w))
+            elif mod == "DenseReluDense":
+                _set(tree, base + (parts[6], "kernel"), _t(w))
+            elif mod == "layer_norm":
+                name = "ln_attn" if which == "0" else "ln_ff"
+                _set(tree, base + (name, "scale"), w)
+            else:
+                raise KeyError(f"unhandled T5 key: {key}")
+        else:
+            raise KeyError(f"unhandled T5 key: {key}")
+    return tree
+
+
 def convert_resampler(sd: Mapping[str, np.ndarray]) -> Dict:
     """Keys with 'image_proj_model.' stripped."""
     tree: Dict = {}
