@@ -77,6 +77,20 @@ class ModelConfig:
 
         self.unet = dict(p["unet_config"]["params"])
         self.vae = dict(p["first_stage_config"]["params"])
+        # conditioning-stage targets: honor the reflection `target:` so a
+        # config naming an alternate encoder gets the matching native tower
+        # (models/encoders.py); shipped configs all use the OpenCLIP pair.
+        cond_node = p.get("cond_stage_config") or {}
+        self.cond_stage_target = cond_node.get(
+            "target", "lvdm.modules.encoders.condition.FrozenOpenCLIPEmbedder")
+        self.cond_stage_role = target_role(self.cond_stage_target) or "clip_text"
+        self.cond_stage_params = dict(cond_node.get("params", {}) or {})
+        img_node = p.get("img_cond_stage_config") or {}
+        self.img_cond_stage_target = img_node.get(
+            "target",
+            "lvdm.modules.encoders.condition.FrozenOpenCLIPImageEmbedderV2")
+        self.img_cond_stage_role = (target_role(self.img_cond_stage_target)
+                                    or "clip_vision")
         self.resampler = (dict(p["image_proj_stage_config"]["params"])
                           if "image_proj_stage_config" in p else None)
         # CLIP towers: size params are fixed by the released checkpoints

@@ -85,8 +85,39 @@ class DynamiCrafterPipeline:
         self.vae_config = VAEConfig.from_dict(config.vae)
         self.unet = UNetModel(self.unet_config, dtype=dtype)
         self.vae = AutoencoderKL(self.vae_config, dtype=dtype)
-        self.text_encoder = CLIPTextEncoder(
-            CLIPTextConfig(**config.clip_text), dtype=dtype)
+        self.text_role = getattr(config, "cond_stage_role", "clip_text")
+        csp = getattr(config, "cond_stage_params", {})
+        if self.text_role == "clip_text":
+            kwargs = dict(config.clip_text)
+            # FrozenOpenCLIPEmbedder layer= last|penultimate (condition.py:241)
+            kwargs.setdefault(
+                "penultimate", csp.get("layer", "penultimate") == "penultimate")
+            self.text_encoder = CLIPTextEncoder(CLIPTextConfig(**kwargs),
+                                                dtype=dtype)
+        elif self.text_role == "clip_text_hf":
+            # FrozenCLIPEmbedder (HF CLIP ViT-L text, condition.py:209-252)
+            from dynamicrafter_tpu.models.encoders import (
+                HFCLIPTextConfig, HFCLIPTextEncoder)
+            kwargs = dict(config.clip_text)
+            kwargs.pop("penultimate", None)  # open_clip-only knob
+            kwargs.setdefault("layer", csp.get("layer", "last"))
+            kwargs.setdefault("layer_idx", csp.get("layer_idx"))
+            self.text_encoder = HFCLIPTextEncoder(HFCLIPTextConfig(**kwargs),
+                                                  dtype=dtype)
+        else:
+            raise ValueError(
+                f"text conditioning target {config.cond_stage_target!r} "
+                f"(role {self.text_role!r}) is implemented in "
+                "models/encoders.py but has no UNet context contract in the "
+                "DynamiCrafter i2v pipeline (same in the reference).")
+        if getattr(config, "img_cond_stage_role", "clip_vision") != "clip_vision":
+            raise ValueError(
+                f"image conditioning target {config.img_cond_stage_target!r} "
+                "is implemented (models/encoders.py::CLIPVisionPooled) but the "
+                "3D UNet's per-frame context split needs the all-tokens "
+                "FrozenOpenCLIPImageEmbedderV2 + Resampler pair — a pooled "
+                "embedder cannot produce the (T, 16, C) image context (the "
+                "reference has the same shape contract, openaimodel3d.py:556).")
         self.vision_encoder = CLIPVisionEncoder(
             CLIPVisionConfig(**config.clip_vision), dtype=dtype)
         self.resampler = (Resampler(ResamplerConfig.from_dict(config.resampler),
@@ -134,11 +165,24 @@ class DynamiCrafterPipeline:
         sd = {k: (v.float().numpy() if hasattr(v, "numpy") else np.asarray(v))
               for k, v in sd.items()}
         split = W.split_reference_checkpoint(sd)
-        n_text_layers = CLIPTextConfig(**config.clip_text).layers - 1
+        if getattr(config, "cond_stage_role", "clip_text") == "clip_text_hf":
+            # FrozenCLIPEmbedder stores the HF model under 'transformer.'
+            hf_sd = {k[len("transformer."):]: v
+                     for k, v in split["clip_text"].items()
+                     if k.startswith("transformer.")}
+            text_params = W.convert_hf_clip_text(hf_sd)
+        else:
+            penult = dict(config.clip_text).get(
+                "penultimate",
+                getattr(config, "cond_stage_params", {})
+                .get("layer", "penultimate") == "penultimate")
+            n_text_layers = (CLIPTextConfig(**config.clip_text).layers
+                             - (1 if penult else 0))
+            text_params = W.convert_clip_text(split["clip_text"], n_text_layers)
         params = {
             "unet": W.convert_unet(split["unet"]),
             "vae": W.convert_vae(split["vae"]),
-            "clip_text": W.convert_clip_text(split["clip_text"], n_text_layers),
+            "clip_text": text_params,
             "clip_vision": W.convert_clip_vision(split["clip_vision"]),
         }
         if split["resampler"]:
@@ -177,8 +221,9 @@ class DynamiCrafterPipeline:
         params["vae"] = jax.jit(self.vae.init)(
             keys[1], jnp.zeros((1, px, px, 3)),
         )["params"]
+        ctx_len = self.text_encoder.config.context_length
         params["clip_text"] = jax.jit(self.text_encoder.init)(
-            keys[2], jnp.zeros((1, 77), jnp.int32))["params"]
+            keys[2], jnp.zeros((1, ctx_len), jnp.int32))["params"]
         vcfg = self.vision_encoder.config
         params["clip_vision"] = jax.jit(self.vision_encoder.init)(
             keys[3], jnp.zeros((1, vcfg.image_size, vcfg.image_size, 3)))["params"]

@@ -185,3 +185,61 @@ def test_clip_t5_joint_and_identity():
 
     x = jnp.ones((3, 4))
     assert identity_encode(x) is x
+
+
+# ---------------------------------------------------------------------------
+# config-target wiring: a YAML naming an alternate encoder gets the native
+# tower through the pipeline (config.py role mapping)
+# ---------------------------------------------------------------------------
+
+import copy
+
+from dynamicrafter_tpu.config import ModelConfig
+from dynamicrafter_tpu.models.encoders import HFCLIPTextEncoder as _HFEnc
+from dynamicrafter_tpu.pipeline import DynamiCrafterPipeline
+from tiny_config import TINY_MODEL_CONFIG
+
+
+def _tiny_with_cond_stage(target, params=None, clip_text=None):
+    node = copy.deepcopy(TINY_MODEL_CONFIG)
+    p = node["model"]["params"]
+    p["cond_stage_config"] = {"target": target, "params": params or {}}
+    if clip_text is not None:
+        p["clip_text_config"] = {"params": clip_text}
+    return ModelConfig(node)
+
+
+def test_pipeline_builds_hf_clip_text_from_config():
+    cfg = _tiny_with_cond_stage(
+        "lvdm.modules.encoders.condition.FrozenCLIPEmbedder",
+        params={"layer": "pooled"},
+        clip_text={"vocab_size": 49408, "width": 48, "heads": 4,
+                   "layers": 2, "context_length": 77})
+    assert cfg.cond_stage_role == "clip_text_hf"
+    pipe = DynamiCrafterPipeline(cfg)
+    assert isinstance(pipe.text_encoder, _HFEnc)
+    assert pipe.text_encoder.config.layer == "pooled"
+    pipe.init_random(latent_hw=(4, 4))
+    z = pipe.embed_text(["a cat"])
+    assert z.shape == (1, 1, 48)  # pooled -> single token
+
+
+def test_openclip_layer_last_honored():
+    cfg = _tiny_with_cond_stage(
+        "lvdm.modules.encoders.condition.FrozenOpenCLIPEmbedder",
+        params={"layer": "last"},
+        clip_text={"vocab_size": 49408, "width": 48, "heads": 4,
+                   "layers": 2, "context_length": 77})
+    pipe = DynamiCrafterPipeline(cfg)
+    assert pipe.text_encoder.config.penultimate is False
+
+
+def test_pooled_image_target_rejected_with_pointer():
+    node = copy.deepcopy(TINY_MODEL_CONFIG)
+    node["model"]["params"]["img_cond_stage_config"] = {
+        "target": "lvdm.modules.encoders.condition.FrozenOpenCLIPImageEmbedder",
+        "params": {},
+    }
+    cfg = ModelConfig(node)
+    with pytest.raises(ValueError, match="CLIPVisionPooled"):
+        DynamiCrafterPipeline(cfg)
