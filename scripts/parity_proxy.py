@@ -426,11 +426,71 @@ def run_clip(mc, args):
     return rows
 
 
+def run_alt_encoders(mc, args):
+    """Full-size rows for the alternate conditioning encoders.
+
+    Oracles are the EXACT HF modules the reference wraps
+    (condition.py:175-252): CLIPTextModel at openai/clip-vit-large-patch14
+    dims and T5EncoderModel at google/t5-v1_1-large dims, random-init
+    offline (no hub access needed).
+    """
+    import torch
+    import transformers
+
+    import jax.numpy as jnp
+
+    from dynamicrafter_tpu.models.encoders import (
+        HFCLIPTextConfig, HFCLIPTextEncoder, T5Config, T5Encoder,
+    )
+    from dynamicrafter_tpu.utils import weights as W
+
+    rows = []
+    # --- HF CLIP ViT-L/14 text tower (FrozenCLIPEmbedder, layer="last")
+    t0 = time.time()
+    # openai/clip-vit-large-patch14 text dims (HF class defaults are ViT-B)
+    hcfg = transformers.CLIPTextConfig(
+        hidden_size=768, intermediate_size=3072, num_hidden_layers=12,
+        num_attention_heads=12)
+    torch.manual_seed(7)
+    oracle = transformers.CLIPTextModel(hcfg).eval()
+    tokens = np.random.default_rng(8).integers(
+        0, hcfg.vocab_size, (2, 77), dtype=np.int64)
+    with torch.no_grad():
+        ref = oracle(input_ids=torch.tensor(tokens)).last_hidden_state.numpy()
+    params = W.convert_hf_clip_text(
+        {k: v.numpy() for k, v in oracle.state_dict().items()})
+    cfg = HFCLIPTextConfig()  # matching ViT-L defaults
+    out = HFCLIPTextEncoder(cfg).apply(
+        {"params": params}, jnp.asarray(tokens.astype(np.int32)))
+    rows.append(_report("hf_clip_text_vitl14", np.asarray(out), ref,
+                        time.time() - t0))
+
+    # --- T5 v1_1-large encoder (FrozenT5Embedder)
+    t0 = time.time()
+    tcfg5 = transformers.T5Config(
+        vocab_size=32128, d_model=1024, d_kv=64, d_ff=2816, num_layers=24,
+        num_heads=16, feed_forward_proj="gated-gelu", dropout_rate=0.0)
+    torch.manual_seed(9)
+    t5 = transformers.T5EncoderModel(tcfg5).eval()
+    t5toks = np.random.default_rng(10).integers(
+        0, tcfg5.vocab_size, (2, 77), dtype=np.int64)
+    with torch.no_grad():
+        t5ref = t5(input_ids=torch.tensor(t5toks)).last_hidden_state.numpy()
+    t5params = W.convert_t5_encoder(
+        {k: v.numpy() for k, v in t5.state_dict().items()})
+    t5out = T5Encoder(T5Config()).apply(
+        {"params": t5params}, jnp.asarray(t5toks.astype(np.int32)))
+    rows.append(_report("t5_v1_1_large_encoder", np.asarray(t5out), t5ref,
+                        time.time() - t0))
+    return rows
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="configs/inference_256_v1.0.yaml")
     p.add_argument("--component", default="all",
-                   choices=["all", "unet", "ddim", "vae", "clip", "pixels"])
+                   choices=["all", "unet", "ddim", "vae", "clip", "pixels",
+                            "encoders"])
     p.add_argument("--steps", type=int, default=2)
     p.add_argument("--height", type=int, default=256)
     p.add_argument("--width", type=int, default=256)
@@ -449,6 +509,8 @@ def main():
     rows = []
     if args.component in ("all", "clip"):
         rows += run_clip(mc, args)
+    if args.component == "encoders":
+        rows += run_alt_encoders(mc, args)
     if args.component in ("all", "vae"):
         rows += run_vae(mc, args)
     if args.component in ("all", "unet", "ddim", "pixels"):
