@@ -308,9 +308,13 @@ def main():
     rng = jax.random.PRNGKey(args.seed)
     t_last = time.time()
     profiling = False
+    # host-side step counter: `int(state.step)` is a blocking device fetch
+    # (one tunnel round-trip per step under the remote TPU backend) and
+    # caps the dispatch queue at depth 1; tracking the step on the host
+    # lets XLA dispatch run ahead and only metric/val fetches synchronize
+    step = int(state.step)
     with use_mesh(mesh):
         for batch in loader:
-            step = int(state.step)
             if step >= max_steps:
                 break
             if args.profile_steps and step == 10 and not profiling:
@@ -324,7 +328,7 @@ def main():
                       "tokens": jnp.asarray(batch["tokens"]),
                       "fs": jnp.asarray(batch["fs"])}
             state, m = step_fn(state, frozen, jbatch, rng)
-            step = int(state.step)
+            step += 1
             if val_iter is not None and step % args.val_every == 0:
                 vb = next(val_iter)
                 jval = {"video": jnp.asarray(vb["video"]),
