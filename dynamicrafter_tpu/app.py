@@ -52,6 +52,17 @@ class Image2Video:
 
         repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         cfg_path = os.path.join(repo_root, self.spec["config"])
+        if ckpt_path is None and not random_init:
+            # reference gradio backend auto-downloads the released weights
+            # (scripts/gradio/i2v_test.py:20-29); fall back to random init
+            # when the hub is unreachable so the demo still comes up
+            from dynamicrafter_tpu.utils.video import download_checkpoint
+            try:
+                ckpt_path = download_checkpoint(resolution.split("_")[-1])
+            except Exception as e:  # no egress / no hub package
+                print(f"WARNING: checkpoint download failed ({e}); "
+                      "running with random-init weights (smoke mode)")
+                random_init = True
         if ckpt_path and not random_init:
             self.pipe = DynamiCrafterPipeline.from_checkpoint(
                 cfg_path, ckpt_path, dtype=jnp.bfloat16)
