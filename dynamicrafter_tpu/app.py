@@ -54,11 +54,15 @@ class Image2Video:
         cfg_path = os.path.join(repo_root, self.spec["config"])
         if ckpt_path is None and not random_init:
             # reference gradio backend auto-downloads the released weights
-            # (scripts/gradio/i2v_test.py:20-29); fall back to random init
-            # when the hub is unreachable so the demo still comes up
+            # (scripts/gradio/i2v_test.py:20-29; the interp/loop tabs use the
+            # 512_interp checkpoint, i2v_test_application.py:20-28); fall back
+            # to random init when the hub is unreachable so the demo comes up
             from dynamicrafter_tpu.utils.video import download_checkpoint
+            res = resolution.split("_")[-1]
+            if mode in ("interp", "loop"):
+                res = f"{res}_interp"
             try:
-                ckpt_path = download_checkpoint(resolution.split("_")[-1])
+                ckpt_path = download_checkpoint(res)
             except Exception as e:  # no egress / no hub package
                 print(f"WARNING: checkpoint download failed ({e}); "
                       "running with random-init weights (smoke mode)")

@@ -80,17 +80,24 @@ class ModelConfig:
         # conditioning-stage targets: honor the reflection `target:` so a
         # config naming an alternate encoder gets the matching native tower
         # (models/encoders.py); shipped configs all use the OpenCLIP pair.
+        def _role(node, default_target):
+            target = node.get("target", default_target)
+            role = target_role(target)
+            if role is None:
+                raise ValueError(
+                    f"unrecognized conditioning target {target!r}; known "
+                    f"targets: {sorted(_TARGET_ROLES)}")
+            return target, role
+
         cond_node = p.get("cond_stage_config") or {}
-        self.cond_stage_target = cond_node.get(
-            "target", "lvdm.modules.encoders.condition.FrozenOpenCLIPEmbedder")
-        self.cond_stage_role = target_role(self.cond_stage_target) or "clip_text"
+        self.cond_stage_target, self.cond_stage_role = _role(
+            cond_node,
+            "lvdm.modules.encoders.condition.FrozenOpenCLIPEmbedder")
         self.cond_stage_params = dict(cond_node.get("params", {}) or {})
         img_node = p.get("img_cond_stage_config") or {}
-        self.img_cond_stage_target = img_node.get(
-            "target",
+        self.img_cond_stage_target, self.img_cond_stage_role = _role(
+            img_node,
             "lvdm.modules.encoders.condition.FrozenOpenCLIPImageEmbedderV2")
-        self.img_cond_stage_role = (target_role(self.img_cond_stage_target)
-                                    or "clip_vision")
         self.resampler = (dict(p["image_proj_stage_config"]["params"])
                           if "image_proj_stage_config" in p else None)
         # CLIP towers: size params are fixed by the released checkpoints

@@ -27,10 +27,11 @@ TPU notes: all context lengths are static, so the T5 relative-position
 bucket table is a compile-time numpy constant (one gather per forward);
 attention here is dense (L <= 257) and MXU-bound.  Tokenization for the
 HF-CLIP path reuses the native BPE tokenizer (HF's CLIPTokenizer and
-open_clip share the vocab/merges; they differ only in the id used to pad
-past EOT, which is causally masked and after the pooled position).  T5
-sentencepiece assets are external weights-class artifacts: ``T5Encoder``
-consumes token ids.
+open_clip share the vocab/merges but pad differently: EOT 49407 vs 0 —
+pad positions are visible on the unmasked layer="last"/"hidden" outputs,
+so the pipeline requests ``pad_id=eos`` for this role).  T5 sentencepiece
+assets are external weights-class artifacts: ``T5Encoder`` consumes
+token ids.
 """
 from __future__ import annotations
 

@@ -54,6 +54,17 @@ class PipelineOutput:
     videos: np.ndarray  # (B, n_samples, T, H, W, 3) float in [-1, 1]
 
 
+def _openclip_text_config(config) -> CLIPTextConfig:
+    """FrozenOpenCLIPEmbedder layer= last|penultimate (condition.py:241);
+    shared by the constructor and the checkpoint converter so the built
+    tower and the converted layer count cannot drift."""
+    csp = getattr(config, "cond_stage_params", {})
+    kwargs = dict(config.clip_text)
+    kwargs.setdefault(
+        "penultimate", csp.get("layer", "penultimate") == "penultimate")
+    return CLIPTextConfig(**kwargs)
+
+
 class DynamiCrafterPipeline:
     def __init__(
         self,
@@ -88,12 +99,8 @@ class DynamiCrafterPipeline:
         self.text_role = getattr(config, "cond_stage_role", "clip_text")
         csp = getattr(config, "cond_stage_params", {})
         if self.text_role == "clip_text":
-            kwargs = dict(config.clip_text)
-            # FrozenOpenCLIPEmbedder layer= last|penultimate (condition.py:241)
-            kwargs.setdefault(
-                "penultimate", csp.get("layer", "penultimate") == "penultimate")
-            self.text_encoder = CLIPTextEncoder(CLIPTextConfig(**kwargs),
-                                                dtype=dtype)
+            self.text_encoder = CLIPTextEncoder(
+                _openclip_text_config(config), dtype=dtype)
         elif self.text_role == "clip_text_hf":
             # FrozenCLIPEmbedder (HF CLIP ViT-L text, condition.py:209-252)
             from dynamicrafter_tpu.models.encoders import (
@@ -123,7 +130,14 @@ class DynamiCrafterPipeline:
         self.resampler = (Resampler(ResamplerConfig.from_dict(config.resampler),
                                     dtype=dtype)
                           if config.resampler else None)
-        self.tokenizer = tokenizer or default_tokenizer()
+        if tokenizer is None:
+            # HF CLIPTokenizer pads with EOT (49407), open_clip with 0; pad
+            # positions reach the UNet unmasked on the FrozenCLIPEmbedder
+            # path (layer="last"/"hidden"), so the pad id must match there
+            pad = (self.text_encoder.config.eos_token_id
+                   if self.text_role == "clip_text_hf" else 0)
+            tokenizer = default_tokenizer(pad_id=pad)
+        self.tokenizer = tokenizer
 
         self.schedule = sched_lib.build_schedule(
             timesteps=config.timesteps,
@@ -170,14 +184,16 @@ class DynamiCrafterPipeline:
             hf_sd = {k[len("transformer."):]: v
                      for k, v in split["clip_text"].items()
                      if k.startswith("transformer.")}
+            if not hf_sd and split["clip_text"]:
+                raise ValueError(
+                    "config names FrozenCLIPEmbedder (HF CLIP text) but the "
+                    "checkpoint's cond_stage_model keys are not under "
+                    "'transformer.' — this looks like an OpenCLIP checkpoint; "
+                    "use a FrozenOpenCLIPEmbedder cond_stage_config.")
             text_params = W.convert_hf_clip_text(hf_sd)
         else:
-            penult = dict(config.clip_text).get(
-                "penultimate",
-                getattr(config, "cond_stage_params", {})
-                .get("layer", "penultimate") == "penultimate")
-            n_text_layers = (CLIPTextConfig(**config.clip_text).layers
-                             - (1 if penult else 0))
+            tc = _openclip_text_config(config)
+            n_text_layers = tc.layers - (1 if tc.penultimate else 0)
             text_params = W.convert_clip_text(split["clip_text"], n_text_layers)
         params = {
             "unet": W.convert_unet(split["unet"]),

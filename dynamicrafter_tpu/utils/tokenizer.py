@@ -64,7 +64,13 @@ class CLIPTokenizer:
     """Byte-pair-encoding tokenizer compatible with open_clip's SimpleTokenizer."""
 
     def __init__(self, vocab_path: Optional[str] = None,
-                 context_length: int = CONTEXT_LENGTH):
+                 context_length: int = CONTEXT_LENGTH,
+                 pad_id: int = 0):
+        # pad_id: open_clip zero-pads (condition.py tokenize); HF's
+        # CLIPTokenizer pads with EOT 49407 — the FrozenCLIPEmbedder path
+        # (layer="last"/"hidden") returns pad positions unmasked, so the
+        # pad id is behaviorally visible there and must match.
+        self.pad_id = pad_id
         if vocab_path is None:
             for cand in _DEFAULT_VOCAB_CANDIDATES:
                 if os.path.exists(cand):
@@ -149,10 +155,11 @@ class CLIPTokenizer:
         return ids
 
     def __call__(self, texts: Sequence[str]) -> np.ndarray:
-        """-> (B, 77) int32, zero-padded, [sot] tokens [eot]."""
+        """-> (B, 77) int32, pad_id-padded, [sot] tokens [eot]."""
         if isinstance(texts, str):
             texts = [texts]
-        out = np.zeros((len(texts), self.context_length), dtype=np.int32)
+        out = np.full((len(texts), self.context_length), self.pad_id,
+                      dtype=np.int32)
         for i, text in enumerate(texts):
             toks = [self.sot] + self.encode(text)[: self.context_length - 2] + [self.eot]
             out[i, : len(toks)] = toks
@@ -167,16 +174,18 @@ class HashTokenizer:
     """
 
     def __init__(self, context_length: int = CONTEXT_LENGTH,
-                 vocab_size: int = VOCAB_SIZE):
+                 vocab_size: int = VOCAB_SIZE, pad_id: int = 0):
         self.context_length = context_length
         self.vocab_size = vocab_size
         self.sot = vocab_size - 2
         self.eot = vocab_size - 1
+        self.pad_id = pad_id
 
     def __call__(self, texts: Sequence[str]) -> np.ndarray:
         if isinstance(texts, str):
             texts = [texts]
-        out = np.zeros((len(texts), self.context_length), dtype=np.int32)
+        out = np.full((len(texts), self.context_length), self.pad_id,
+                      dtype=np.int32)
         for i, text in enumerate(texts):
             words = _clean_text(text).split()
             ids = [
@@ -189,8 +198,9 @@ class HashTokenizer:
         return out
 
 
-@functools.lru_cache(maxsize=2)
-def default_tokenizer(vocab_path: Optional[str] = None, require_real: bool = False):
+@functools.lru_cache(maxsize=4)
+def default_tokenizer(vocab_path: Optional[str] = None, require_real: bool = False,
+                      pad_id: int = 0):
     """CLIPTokenizer when a vocab is available, else HashTokenizer.
 
     With ``require_real=True`` the hash fallback is an error: real CLIP
@@ -199,7 +209,7 @@ def default_tokenizer(vocab_path: Optional[str] = None, require_real: bool = Fal
     instead of silently degrading.
     """
     try:
-        return CLIPTokenizer(vocab_path)
+        return CLIPTokenizer(vocab_path, pad_id=pad_id)
     except FileNotFoundError:
         if require_real:
             raise FileNotFoundError(
@@ -207,4 +217,4 @@ def default_tokenizer(vocab_path: Optional[str] = None, require_real: bool = Fal
                 "text conditioning would be garbage. Pass --vocab_path "
                 "pointing at bpe_simple_vocab_16e6.txt.gz (shipped with "
                 "open_clip).")
-        return HashTokenizer()
+        return HashTokenizer(pad_id=pad_id)

@@ -122,12 +122,18 @@ def download_checkpoint(resolution: str = "512",
         from huggingface_hub import hf_hub_download
     except ImportError as e:
         raise ImportError("huggingface_hub required to download weights") from e
-    repo = {
+    repos = {
         "256": "Doubiiu/DynamiCrafter",
         "512": "Doubiiu/DynamiCrafter_512",
         "1024": "Doubiiu/DynamiCrafter_1024",
         "512_interp": "Doubiiu/DynamiCrafter_512_Interp",
-    }[resolution]
+    }
+    if resolution not in repos:
+        raise ValueError(
+            f"no released checkpoint for {resolution!r} (available: "
+            f"{sorted(repos)}; interpolation/looping weights exist only "
+            "at 512)")
+    repo = repos[resolution]
     return hf_hub_download(repo_id=repo, filename="model.ckpt",
                            cache_dir=cache_dir)
 

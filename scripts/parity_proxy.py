@@ -509,7 +509,7 @@ def main():
     rows = []
     if args.component in ("all", "clip"):
         rows += run_clip(mc, args)
-    if args.component == "encoders":
+    if args.component in ("all", "encoders"):
         rows += run_alt_encoders(mc, args)
     if args.component in ("all", "vae"):
         rows += run_vae(mc, args)

@@ -313,14 +313,22 @@ def main():
     # caps the dispatch queue at depth 1; tracking the step on the host
     # lets XLA dispatch run ahead and only metric/val fetches synchronize
     step = int(state.step)
+    m = None
     with use_mesh(mesh):
         for batch in loader:
             if step >= max_steps:
                 break
+            # the host step counter lets dispatch run ahead of execution, so
+            # the trace window must be fenced by scalar fetches (the only
+            # reliable sync here — block_until_ready lies on this backend)
             if args.profile_steps and step == 10 and not profiling:
+                if m is not None:
+                    jax.tree_util.tree_map(float, m)
                 jax.profiler.start_trace(os.path.join(workdir, "profile"))
                 profiling = True
             if profiling and step >= 10 + args.profile_steps:
+                if m is not None:
+                    jax.tree_util.tree_map(float, m)
                 jax.profiler.stop_trace()
                 profiling = False
                 log.info("profiler trace written")

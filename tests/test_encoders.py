@@ -243,3 +243,25 @@ def test_pooled_image_target_rejected_with_pointer():
     cfg = ModelConfig(node)
     with pytest.raises(ValueError, match="CLIPVisionPooled"):
         DynamiCrafterPipeline(cfg)
+
+
+def test_hf_role_pads_with_eot():
+    # HF CLIPTokenizer pads with EOT; pad positions are visible on the
+    # unmasked layer="last" output, so the hf role must request pad_id=eos
+    cfg = _tiny_with_cond_stage(
+        "lvdm.modules.encoders.condition.FrozenCLIPEmbedder",
+        clip_text={"vocab_size": 49408, "width": 48, "heads": 4,
+                   "layers": 2, "context_length": 77})
+    pipe = DynamiCrafterPipeline(cfg)
+    toks = pipe.tokenizer(["hi"])
+    eos = pipe.text_encoder.config.eos_token_id
+    assert toks[0, -1] == eos and toks[0, -10] == eos  # padded with EOT
+    # default open_clip role keeps zero padding
+    pipe0 = DynamiCrafterPipeline(ModelConfig(
+        __import__("copy").deepcopy(TINY_MODEL_CONFIG)))
+    assert pipe0.tokenizer(["hi"])[0, -1] == 0
+
+
+def test_unknown_cond_stage_target_rejected():
+    with pytest.raises(ValueError, match="unrecognized conditioning target"):
+        _tiny_with_cond_stage("my.custom.MysteryEncoder")
