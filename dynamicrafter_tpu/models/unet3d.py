@@ -267,8 +267,6 @@ class UNetModel(nn.Module):
         self.out_conv = conv_spatial(cfg.out_channels, "out_conv", zero_init=True, dtype=self.dtype)
 
     def _apply_block(self, layers, specs, h, emb, context, deterministic):
-        from jax.ad_checkpoint import checkpoint_name
-
         for layer, spec in zip(layers, specs):
             kind = spec[0]
             # positional calls: kwargs do not route through nn.remat's
@@ -284,12 +282,6 @@ class UNetModel(nn.Module):
             else:  # down / up
                 h = layer(h)
             h = constrain(h, DATA_AXIS, SEQ_AXIS, None, None, None)
-            # per-LAYER remat boundary (reference: per-module grad
-            # checkpointing, lvdm/common.py:80-94). Block-level boundaries
-            # are too coarse at 576x1024: one ds1 block's (res + spatial +
-            # temporal) backward segment alone holds ~10 GB of recomputed
-            # intermediates (measured 43.7 GB total vs 16 GB HBM).
-            h = checkpoint_name(h, "unet_block")
         return h
 
     def __call__(
@@ -331,13 +323,11 @@ class UNetModel(nn.Module):
 
         context = (context_text, context_img)
 
-        # Remat boundaries live in _apply_block (one per layer, name
-        # "unet_block"): checkpoint_name is an identity outside AD; under
-        # jax.checkpoint with save_only_these_names("unet_block") the
-        # backward holds ONLY layer-boundary tensors and recomputes within
-        # each layer — what makes the 576x1024 training step fit 16 GB HBM
-        # (dots_saveable needs 55.8 GB, measured).
-        from jax.ad_checkpoint import checkpoint_name
+        # Remat for training lives in the module tree: remat_layers=True
+        # wraps every block class in nn.remat with the flash-residual
+        # policy (per-LAYER recompute segments — what makes the 576x1024
+        # training step fit 16 GB HBM; the flat dots_saveable policy needs
+        # 55.8 GB, measured; see training/trainer.py remat_policy).
 
         # DeepCache seam: the top (ds1) level is conv_first + num_res_blocks
         # input blocks and the last num_res_blocks+1 output blocks.
@@ -355,7 +345,6 @@ class UNetModel(nn.Module):
             h = self._apply_block(layers, specs, h, emb, context, deterministic)
             if i == 0 and cfg.addition_attention:
                 h = self.init_attn(h, deterministic)
-                h = checkpoint_name(h, "unet_block")
             hs.append(h)
 
         cache_out = None

@@ -27,6 +27,27 @@ def set_default_backend(name: str) -> None:
     _BACKEND = name
 
 
+def _shard_mapped_qkv(kernel, mesh, q, seq_axis: int, n_dims: int):
+    """Wrap a (q, k, v) -> out Pallas kernel in shard_map for the sp mesh.
+
+    SEQ_AXIS carries dimension `seq_axis`; the batch dim rides DATA_AXIS
+    when it divides the dp extent (single shared spec for q/k/v/out —
+    callers broadcast K/V to q's leading shape first).
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from dynamicrafter_tpu.parallel.sharding import DATA_AXIS, SEQ_AXIS
+
+    dims = [None] * n_dims
+    dp = max(mesh.shape.get(DATA_AXIS, 1), 1)
+    dims[0] = DATA_AXIS if q.shape[0] % dp == 0 else None
+    dims[seq_axis] = SEQ_AXIS
+    spec = P(*dims)
+    return shard_map(kernel, mesh=mesh, in_specs=(spec, spec, spec),
+                     out_specs=spec, check_vma=False)
+
+
 def _seq_mesh(axis_size: int):
     """The active mesh if its 'sp' axis is >1 and divides axis_size.
 
@@ -158,21 +179,10 @@ def attention_axis1(
 
             mesh = _seq_mesh(q.shape[2])
             if mesh is not None:
-                from jax import shard_map
-                from jax.sharding import PartitionSpec as P
-
-                from dynamicrafter_tpu.parallel.sharding import (
-                    DATA_AXIS, SEQ_AXIS,
-                )
-
-                spec = P(DATA_AXIS if q.shape[0] % max(
-                    mesh.shape.get(DATA_AXIS, 1), 1) == 0 else None,
-                    None, SEQ_AXIS, None, None)
-                fn = shard_map(
+                fn = _shard_mapped_qkv(
                     lambda a, b_, c: small_t_attention_tmajor(
                         a, b_, c, scale=scale),
-                    mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
-                    check_vma=False)
+                    mesh, q, seq_axis=2, n_dims=5)
                 return fn(q, k, v)
             return small_t_attention_tmajor(q, k, v, scale=scale)
     mv = lambda x: jnp.moveaxis(x, 1, -3)
@@ -208,20 +218,9 @@ def dot_product_attention(
         if mesh is not None:
             # spatial attention under the sp mesh: T (axis 1) is sharded;
             # run the kernel per-shard (see _seq_mesh)
-            from jax import shard_map
-            from jax.sharding import PartitionSpec as P
-
-            from dynamicrafter_tpu.parallel.sharding import (
-                DATA_AXIS, SEQ_AXIS,
-            )
-
-            spec = P(DATA_AXIS if q.shape[0] % max(
-                mesh.shape.get(DATA_AXIS, 1), 1) == 0 else None,
-                SEQ_AXIS, None, None, None)
-            fn = shard_map(
+            fn = _shard_mapped_qkv(
                 lambda a, b_, c: flash_attention(a, b_, c, scale=scale),
-                mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
-                check_vma=False)
+                mesh, q, seq_axis=1, n_dims=5)
             return fn(q, k, v)
         return flash_attention(q, k, v, scale=scale)
     return xla_attention(q, k, v, mask=mask, scale=scale)

@@ -50,9 +50,6 @@ class GroupNorm(nn.Module):
         # +50 GB/step at 320x512).
         nb = self.num_batch_axes
         red_axes = tuple(range(nb, x.ndim - 1))
-        n_red = 1
-        for a in red_axes:
-            n_red *= x.shape[a]
 
         # E[x^2]-E[x]^2 cancels catastrophically when |mean| >> std; shift by
         # a cheap GROUP-CONSTANT offset first (var is invariant to a constant

@@ -46,10 +46,13 @@ class TrainConfig:
     parameterization: str = "v"
     noise_strength: float = 0.0      # offset noise (ddpm3d.py:740-747)
     remat: bool = True               # rematerialize UNet blocks (grad ckpt)
-    # "dots": keep matmul outputs (fastest; fits <=320x512);
-    # "blocks": keep ONLY UNet block boundaries (the reference's per-module
-    # checkpointing, lvdm/common.py:80-94) — required at 576x1024, where
-    # dots_saveable needs 55.8 GB vs 16 GB HBM (measured)
+    # "dots": flat whole-model remat keeping matmul outputs — fits (and
+    # marginally wins) only at the 256 recipe; FAILS TO COMPILE at
+    # 320x512 b=2 on a 16 GB v5e (measured, scripts/train_probe.py).
+    # "blocks": nested per-layer nn.remat (the reference's per-module
+    # checkpointing, lvdm/common.py:80-94) — required above 256; at
+    # 576x1024 the flat policy needs 55.8 GB vs 16 GB HBM (measured).
+    # scripts/train.py --remat_policy auto picks by resolution.
     remat_policy: str = "dots"
 
 
@@ -199,8 +202,9 @@ def make_train_step(pipe, cfg: TrainConfig, tx: optax.GradientTransformation):
             {"params": p}, xin, ts, context_text=ct, context_img=ci,
             fs=fsv, deterministic=True)
         if cfg.remat and cfg.remat_policy != "blocks":
-            # flat whole-model remat keeping matmul outputs — fastest, and
-            # fits up to 320x512; "blocks" uses nested per-layer remat via
+            # flat whole-model remat keeping matmul outputs — only fits the
+            # 256 recipe on a 16 GB chip (fails to compile at 512 b=2,
+            # measured); "blocks" uses nested per-layer remat via
             # UNetModel(remat_layers=True) above instead
             unet_apply = jax.checkpoint(
                 unet_apply,
