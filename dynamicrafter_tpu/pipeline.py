@@ -169,10 +169,16 @@ class DynamiCrafterPipeline:
         allow_hash_tokenizer: only for tests with fabricated checkpoints;
         real-weight loads hard-fail on the hash-tokenizer fallback.
         """
-        import torch
-
         config = ModelConfig.from_yaml(config_path)
-        sd = torch.load(ckpt_path, map_location="cpu", weights_only=True)
+        try:
+            import torch
+            sd = torch.load(ckpt_path, map_location="cpu", weights_only=True)
+        except ImportError:
+            # serving hosts need no torch: zip-format .ckpt decoded with
+            # the stdlib pickle + numpy (utils/torch_reader.py)
+            from dynamicrafter_tpu.utils.torch_reader import (
+                load_torch_checkpoint)
+            sd = load_torch_checkpoint(ckpt_path)
         # unwrap/rename first (deepspeed ckpts nest tensors under 'module'),
         # THEN convert tensors to numpy
         sd = W.normalize_state_dict(sd)
