@@ -26,7 +26,8 @@ schedule buffers (betas/alphas_cumprod/..., ddpm3d.py:123-186). The
 intended flow is fine-tune-from-released-ckpt -> export over that donor.
 
 No torch import required: emits str -> np.ndarray; scripts/
-export_checkpoint.py does the torch.save.
+export_checkpoint.py writes the file (torch.save when torch is present,
+utils/torch_reader.save_torch_checkpoint otherwise).
 """
 from __future__ import annotations
 

@@ -133,3 +133,117 @@ def load_torch_checkpoint(path: str) -> Dict[str, Any]:
         with zf.open(pkl_names[0]) as f:
             return _WeightsUnpickler(io.BytesIO(f.read()),
                                      read_storage).load()
+
+
+# ---------------------------------------------------------------------------
+# torch-free WRITER (inverse: emit a zip-format checkpoint torch.load reads)
+# ---------------------------------------------------------------------------
+
+def _global(module: str, qualname: str):
+    """A class object that pickles as ``module.qualname`` without importing
+    it — pickle serializes classes by (module, qualname) reference only."""
+    cls = type(qualname, (), {})
+    cls.__module__ = module
+    cls.__qualname__ = qualname
+    return cls
+
+
+_REBUILD_GLOBAL = _global("torch._utils", "_rebuild_tensor_v2")
+_NP_TO_STORAGE = {
+    np.dtype(np.float32): "FloatStorage",
+    np.dtype(np.float64): "DoubleStorage",
+    np.dtype(np.float16): "HalfStorage",
+    np.dtype(np.int64): "LongStorage",
+    np.dtype(np.int32): "IntStorage",
+    np.dtype(np.int16): "ShortStorage",
+    np.dtype(np.int8): "CharStorage",
+    np.dtype(np.uint8): "ByteStorage",
+    np.dtype(np.bool_): "BoolStorage",
+}
+if _BF16 is not None:
+    _NP_TO_STORAGE[_BF16] = "BFloat16Storage"
+
+
+class _StorageProxy:
+    def __init__(self, key: str, storage_name: str, numel: int):
+        self.key = key
+        self.type_cls = _global("torch", storage_name)
+        self.numel = numel
+
+
+class _TensorProxy:
+    def __init__(self, storage: _StorageProxy, shape, strides):
+        self.storage = storage
+        self.shape = tuple(shape)
+        self.strides = tuple(strides)
+
+    def __reduce_ex__(self, protocol):
+        return (_REBUILD_GLOBAL,
+                (self.storage, 0, self.shape, self.strides, False,
+                 OrderedDict()))
+
+
+class _WeightsPickler(pickle._Pickler):
+    """Pure-python pickler that emits torch globals BY NAME.
+
+    pickle.Pickler verifies every global by importing it and comparing
+    identity — impossible for torch symbols on a torch-less host. Our
+    placeholder classes carry the right (module, qualname); write the
+    GLOBAL opcode directly for them. The pure-python pickler only handles
+    the (small) structure pickle; tensor payloads live in the zip records.
+    """
+
+    def persistent_id(self, obj):
+        if isinstance(obj, _StorageProxy):
+            return ("storage", obj.type_cls, obj.key, "cpu", obj.numel)
+        return None
+
+    def save_global(self, obj, name=None):
+        module = getattr(obj, "__module__", "")
+        if module.startswith("torch"):
+            qual = obj.__qualname__
+            self.write(pickle.GLOBAL + module.encode("utf-8") + b"\n"
+                       + qual.encode("utf-8") + b"\n")
+            self.memoize(obj)
+            return
+        super().save_global(obj, name)
+
+
+def save_torch_checkpoint(path: str, obj: Any) -> None:
+    """Write ``obj`` (nested dicts/lists of numpy arrays + plain scalars)
+    as a zip-format torch checkpoint readable by
+    ``torch.load(weights_only=True)`` — no torch import required.
+
+    Used by scripts/export_checkpoint.py on hosts without torch; the
+    reference code then consumes the file unchanged.
+    """
+    storages = []  # (key, bytes)
+
+    def convert(x):
+        if isinstance(x, np.ndarray) or np.isscalar(x) and hasattr(x, "dtype"):
+            arr = np.ascontiguousarray(x)
+            if arr.dtype not in _NP_TO_STORAGE:
+                raise TypeError(f"no torch storage for dtype {arr.dtype}")
+            key = str(len(storages))
+            storages.append((key, arr.tobytes()))
+            strides = tuple(s // arr.itemsize for s in arr.strides)
+            return _TensorProxy(
+                _StorageProxy(key, _NP_TO_STORAGE[arr.dtype], arr.size),
+                arr.shape, strides)
+        if isinstance(x, dict):
+            return {k: convert(v) for k, v in x.items()}
+        if isinstance(x, (list, tuple)):
+            return type(x)(convert(v) for v in x)
+        return x  # str/int/float/None pickle natively
+
+    payload = convert(obj)
+    buf = io.BytesIO()
+    _WeightsPickler(buf, protocol=2).dump(payload)
+
+    root = "archive"
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_STORED) as zf:
+        zf.writestr(f"{root}/data.pkl", buf.getvalue())
+        zf.writestr(f"{root}/version", "3\n")
+        zf.writestr(f"{root}/byteorder", "little")
+        for key, raw in storages:
+            zf.writestr(f"{root}/data/{key}", raw)

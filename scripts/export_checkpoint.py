@@ -42,7 +42,10 @@ def parse_args():
 def main():
     args = parse_args()
     import numpy as np
-    import torch
+    try:
+        import torch
+    except ImportError:
+        torch = None  # torch-free export via utils/torch_reader
 
     from dynamicrafter_tpu.config import ModelConfig
     from dynamicrafter_tpu.models.unet3d import UNetConfig
@@ -64,7 +67,12 @@ def main():
 
     base_sd = None
     if args.base:
-        raw = torch.load(args.base, map_location="cpu", weights_only=True)
+        if torch is not None:
+            raw = torch.load(args.base, map_location="cpu", weights_only=True)
+        else:
+            from dynamicrafter_tpu.utils.torch_reader import (
+                load_torch_checkpoint)
+            raw = load_torch_checkpoint(args.base)
         base_sd = {k: (v.float().numpy() if hasattr(v, "numpy")
                        else np.asarray(v, np.float32))
                    for k, v in W.normalize_state_dict(raw).items()}
@@ -74,8 +82,12 @@ def main():
     sd = export_state_dict(tree, unet_config=ucfg, base_sd=base_sd)
 
     os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
-    torch.save({"state_dict": {k: torch.tensor(v) for k, v in sd.items()}},
-               args.out)
+    if torch is not None:
+        torch.save({"state_dict": {k: torch.tensor(v) for k, v in sd.items()}},
+                   args.out)
+    else:
+        from dynamicrafter_tpu.utils.torch_reader import save_torch_checkpoint
+        save_torch_checkpoint(args.out, {"state_dict": sd})
     comps = ", ".join(sorted(k for k in tree if k in
                              ("unet", "vae", "clip_text", "clip_vision",
                               "resampler")))
