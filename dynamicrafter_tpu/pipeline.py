@@ -52,6 +52,10 @@ from dynamicrafter_tpu.utils.tokenizer import default_tokenizer
 @dataclasses.dataclass
 class PipelineOutput:
     videos: np.ndarray  # (B, n_samples, T, H, W, 3) float in [-1, 1]
+    # decoded x_inter intermediates when sample(log_every_t=...) is set:
+    # (n_logs+1, B, T, H, W, 3), row 0 = decoded x_T (reference denoise-row
+    # surface, ddpm3d.py:800-820 / samplers/ddim.py:157,199-201)
+    denoise_rows: Optional[np.ndarray] = None
 
 
 def _openclip_text_config(config) -> CLIPTextConfig:
@@ -432,12 +436,15 @@ class DynamiCrafterPipeline:
                                context_text=context_text,
                                context_img=context_img, fs=fs, **kw)
 
-    def _sampler(self, settings: SamplerSettings):
-        """One jitted function per (settings) covering the FULL DDIM scan."""
+    def _sampler(self, settings: SamplerSettings,
+                 log_every_t: Optional[int] = None):
+        """One jitted function per (settings, log_every_t) covering the FULL
+        DDIM scan."""
         if not hasattr(self, "_sampler_cache"):
             self._sampler_cache = {}
-        if settings in self._sampler_cache:
-            return self._sampler_cache[settings]
+        key = (settings, log_every_t)
+        if key in self._sampler_cache:
+            return self._sampler_cache[key]
         table = sched_lib.build_ddim_table(
             self.schedule, num_steps=settings.steps,
             discretize=settings.discretize, eta=settings.eta)
@@ -451,16 +458,18 @@ class DynamiCrafterPipeline:
                 model_fn = make_cfg_denoiser(self._unet_apply, baked, cond,
                                              settings)
                 return ddim_sample(model_fn, x_T, self.schedule, table,
-                                   settings, rng=rng, mask=mask, x0=x0)
+                                   settings, rng=rng, mask=mask, x0=x0,
+                                   log_every_t=log_every_t)
         else:
             @jax.jit
             def run(unet_params, x_T, cond, rng, mask=None, x0=None):
                 model_fn = make_cfg_denoiser(self._unet_apply, unet_params,
                                              cond, settings)
                 return ddim_sample(model_fn, x_T, self.schedule, table,
-                                   settings, rng=rng, mask=mask, x0=x0)
+                                   settings, rng=rng, mask=mask, x0=x0,
+                                   log_every_t=log_every_t)
 
-        self._sampler_cache[settings] = run
+        self._sampler_cache[key] = run
         return run
 
     def sample(
@@ -486,9 +495,19 @@ class DynamiCrafterPipeline:
         deepcache: int = 1,
         mask: Optional[np.ndarray] = None,   # (B,T,h,w,c) 1=keep x0 latent
         x0_latents: Optional[np.ndarray] = None,
+        log_every_t: Optional[int] = None,
     ):
-        """Image-guided synthesis (reference inference.py:216-313)."""
+        """Image-guided synthesis (reference inference.py:216-313).
+
+        log_every_t: also collect the sampler's x_inter intermediates
+        (reference ddim.py:199-201); with decode=True they come back decoded
+        as PipelineOutput.denoise_rows, with decode=False the raw latent
+        stack (n_logs+1, B, T, h, w, c) is returned alongside the latents.
+        Requires n_samples == 1.
+        """
         assert self.params is not None, "load or init params first"
+        if log_every_t is not None and n_samples != 1:
+            raise ValueError("log_every_t intermediates need n_samples=1")
         videos = jnp.asarray(videos, dtype=jnp.float32)
         b, t = videos.shape[0], videos.shape[1]
         f = 2 ** (len(self.vae_config.ch_mult) - 1)
@@ -513,8 +532,9 @@ class DynamiCrafterPipeline:
                 sequential_cfg=sequential_cfg,
                 deepcache=deepcache,
             )
-            run = self._sampler(settings)
+            run = self._sampler(settings, log_every_t)
             variants = []
+            inter = None
             for k in range(n_samples):
                 rng, sub = jax.random.split(rng)
                 if x_T is not None:
@@ -525,11 +545,21 @@ class DynamiCrafterPipeline:
                 z = run(self.params["unet"], xt, cond, noise_rng,
                         None if mask is None else jnp.asarray(mask),
                         None if x0_latents is None else jnp.asarray(x0_latents))
+                if log_every_t is not None:
+                    z, inter = z[0], z[1]["x_inter"]
                 variants.append(z)
             z_all = jnp.stack(variants, axis=1)  # (B, n, T, h, w, c)
             if not decode:
+                if log_every_t is not None:
+                    return np.asarray(z_all), np.asarray(inter)
                 return np.asarray(z_all)
             frames = jnp.stack(
                 [self.decode_latents(z_all[:, k]) for k in range(n_samples)],
                 axis=1)
-        return PipelineOutput(videos=np.asarray(frames))
+            rows = None
+            if log_every_t is not None:
+                # decode each logged step's latents (the reference decodes
+                # every zd in _get_denoise_row_from_list, ddpm3d.py:800-805)
+                rows = np.stack([np.asarray(self.decode_latents(inter[j]))
+                                 for j in range(inter.shape[0])])
+        return PipelineOutput(videos=np.asarray(frames), denoise_rows=rows)

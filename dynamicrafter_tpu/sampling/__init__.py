@@ -1,3 +1,4 @@
+from dynamicrafter_tpu.sampling.ancestral import p_sample_loop
 from dynamicrafter_tpu.sampling.ddim import (
     CFGConditioning,
     SamplerSettings,

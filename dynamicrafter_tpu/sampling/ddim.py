@@ -24,6 +24,7 @@ from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from dynamicrafter_tpu.schedule import (
     DDIMTable,
@@ -174,10 +175,16 @@ def ddim_sample(
     mask: Optional[jax.Array] = None,
     x0: Optional[jax.Array] = None,
     mask_noise: Optional[jax.Array] = None,  # (S, *x.shape) for q_sample blend
+    log_every_t: Optional[int] = None,
 ) -> jax.Array:
     """Run the full DDIM loop; returns the final latent.
 
     model_fn(x, t) must return the (already CFG-combined) model output.
+
+    log_every_t: when set, additionally return the reference sampler's
+    intermediates dict (ddim.py:157,199-201) — {"x_inter", "pred_x0"}, each
+    (n_logs+1, *x.shape) seeded with x_T, saved whenever the descending step
+    index satisfies index % log_every_t == 0 or index == steps-1.
     """
     s = table.num_steps
     b = x_T.shape[0]
@@ -199,6 +206,14 @@ def ddim_sample(
         per_step["noise"] = noise
     if mask is not None and mask_noise is not None:
         per_step["mask_noise"] = mask_noise
+    if log_every_t is not None:
+        from dynamicrafter_tpu.sampling.ancestral import log_slots
+
+        # reference "index" counts down from s-1 (ddim.py:171,199)
+        ref_index = np.arange(s - 1, -1, -1)
+        n_logs, slots = log_slots(
+            (ref_index % log_every_t == 0) | (ref_index == s - 1))
+        per_step["slot"] = slots
 
     use_eta_noise = settings.eta > 0.0
 
@@ -238,10 +253,14 @@ def ddim_sample(
                       + step["sigma"] * n * settings.temperature)
         else:
             x_prev = jnp.sqrt(step["a_prev"]) * pred_x0 + dir_xt
-        return x_prev, key
+        return x_prev, key, pred_x0
 
     if rng is None:
         rng = jax.random.PRNGKey(0)
+
+    if settings.deepcache > 1 and log_every_t is not None:
+        raise ValueError("log_every_t intermediates require the exact "
+                         "sampler (deepcache=1)")
 
     if settings.deepcache > 1:
         # DeepCache: outer scan over groups of N steps. Step 0 of each group
@@ -262,14 +281,14 @@ def ddim_sample(
             t0 = jnp.full((b,), step0["t"], dtype=jnp.int32)
             x, key = _blend(x, key, step0, t0)
             model_output, cache = model_fn(x, t0, return_cache=True)
-            x, key = _update(x, key, step0, t0, model_output)
+            x, key, _ = _update(x, key, step0, t0, model_output)
 
             def shallow(carry2, step):
                 x2, key2 = carry2
                 t = jnp.full((b,), step["t"], dtype=jnp.int32)
                 x2, key2 = _blend(x2, key2, step, t)
                 out = model_fn(x2, t, cache=cache)
-                x2, key2 = _update(x2, key2, step, t, out)
+                x2, key2, _ = _update(x2, key2, step, t, out)
                 return (x2, key2), None
 
             rest = jax.tree_util.tree_map(lambda a: a[1:], gsteps)
@@ -279,12 +298,30 @@ def ddim_sample(
         (x, _), _ = jax.lax.scan(body_dc, (x_T, rng), grouped)
         return x
 
+    if log_every_t is not None:
+        def body_log(carry, step):
+            x, key, bx, bp = carry
+            t = jnp.full((b,), step["t"], dtype=jnp.int32)
+            x, key = _blend(x, key, step, t)
+            model_output = model_fn(x, t)
+            x, key, pred_x0 = _update(x, key, step, t, model_output)
+            bx = bx.at[step["slot"]].set(x, mode="drop")
+            bp = bp.at[step["slot"]].set(pred_x0, mode="drop")
+            return (x, key, bx, bp), None
+
+        buf = jnp.zeros((n_logs, *x_T.shape), x_T.dtype)
+        (x, _, bx, bp), _ = jax.lax.scan(
+            body_log, (x_T, rng, buf, buf), per_step)
+        # seeded with x_T in BOTH lists (reference ddim.py:157)
+        return x, {"x_inter": jnp.concatenate([x_T[None], bx]),
+                   "pred_x0": jnp.concatenate([x_T[None], bp])}
+
     def body(carry, step):
         x, key = carry
         t = jnp.full((b,), step["t"], dtype=jnp.int32)
         x, key = _blend(x, key, step, t)
         model_output = model_fn(x, t)
-        x, key = _update(x, key, step, t, model_output)
+        x, key, _ = _update(x, key, step, t, model_output)
         return (x, key), None
 
     (x, _), _ = jax.lax.scan(body, (x_T, rng), per_step)

@@ -120,7 +120,8 @@ class SampleLogger:
     def __init__(self, pipe, logdir: str, every_n_steps: int = 500,
                  sample_kwargs: Optional[dict] = None, max_samples: int = 2,
                  fps: int = 8, to_tensorboard: bool = True,
-                 log_inputs: bool = True):
+                 log_inputs: bool = True, plot_denoise_rows: bool = False,
+                 denoise_log_every_t: int = 10):
         self.pipe = pipe
         self.dir = os.path.join(logdir, "samples")
         os.makedirs(self.dir, exist_ok=True)
@@ -132,6 +133,15 @@ class SampleLogger:
         self.max_samples = max_samples
         self.fps = fps
         self.log_inputs = log_inputs
+        # reference ImageLogger's plot_denoise_rows / log_images["denoise_row"]
+        # (main/callbacks.py:57-88, ddpm3d.py:1195-1197) — each DDIM
+        # intermediate decoded and tiled into one grid image per sample.
+        # Accepted both as a constructor arg and inside log_images_kwargs
+        # (the reference passes it through log_images, ddpm3d.py:1131).
+        self.plot_denoise_rows = bool(
+            self.kwargs.pop("plot_denoise_rows", plot_denoise_rows))
+        self.denoise_log_every_t = int(
+            self.kwargs.pop("denoise_log_every_t", denoise_log_every_t))
         self._tb = None
         if to_tensorboard:
             try:
@@ -147,14 +157,28 @@ class SampleLogger:
 
         videos = np.asarray(batch["video"])[: self.max_samples]
         prompts = list(batch.get("captions", [""] * len(videos)))[: self.max_samples]
+        kwargs = dict(self.kwargs)
+        if self.plot_denoise_rows:
+            kwargs["log_every_t"] = self.denoise_log_every_t
         out = self.pipe.sample(prompts, videos,
                                fs=[int(x) for x in
                                    np.asarray(batch["fs"])[: self.max_samples]],
-                               **self.kwargs)
+                               **kwargs)
         for i in range(out.videos.shape[0]):
             save_video(out.videos[i, 0],
                        os.path.join(self.dir, f"step{step:07d}_{i}.mp4"),
                        fps=self.fps)
+        if out.denoise_rows is not None:
+            from dynamicrafter_tpu.utils.video import (
+                make_denoise_grid, save_image,
+            )
+
+            # denoise_rows: (n_logs+1, B, T, H, W, 3) -> one grid per sample
+            for i in range(out.denoise_rows.shape[1]):
+                save_image(
+                    make_denoise_grid(out.denoise_rows[:, i]),
+                    os.path.join(self.dir,
+                                 f"step{step:07d}_{i}_denoise_row.png"))
         if self.log_inputs:
             # input + VAE-reconstruction rows, like the reference's
             # log_images "reconst"/"image_condition" keys

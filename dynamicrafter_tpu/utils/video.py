@@ -73,7 +73,10 @@ def load_prompt_dir(
 
 
 def to_uint8(frames: np.ndarray) -> np.ndarray:
-    """[-1,1] float -> uint8."""
+    """[-1,1] float -> uint8. NaN-safe: non-finite pixels (possible in
+    denoise-row intermediates from early, near-pure-noise latents) clamp
+    instead of casting undefined values."""
+    frames = np.nan_to_num(frames, nan=-1.0, posinf=1.0, neginf=-1.0)
     return np.clip((frames + 1.0) / 2.0 * 255.0 + 0.5, 0, 255).astype(np.uint8)
 
 
@@ -112,6 +115,26 @@ def save_video_grid(
     grid = videos.reshape(rows, cols, t, h, w, c)
     grid = grid.transpose(2, 0, 3, 1, 4, 5).reshape(t, rows * h, cols * w, c)
     save_video(grid, path, fps=fps)
+
+
+def make_denoise_grid(rows: np.ndarray) -> np.ndarray:
+    """(n_logs, T, H, W, 3) decoded denoise intermediates -> one grid image
+    (n_logs*H, T*W, 3): one row per logged step, frames left to right — the
+    video layout of the reference's _get_denoise_row_from_list
+    (lvdm/models/ddpm3d.py:806-817, 'n c t h w -> (n t) c h w' +
+    make_grid(nrow=video_length))."""
+    n, t, h, w, c = rows.shape
+    return rows.transpose(0, 2, 1, 3, 4).reshape(n * h, t * w, c)
+
+
+def save_image(image: np.ndarray, path: str) -> None:
+    """image: (H, W, 3) float [-1,1] or uint8 -> PNG."""
+    from PIL import Image
+
+    if image.dtype != np.uint8:
+        image = to_uint8(image)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    Image.fromarray(image).save(path)
 
 
 def download_checkpoint(resolution: str = "512",

@@ -199,6 +199,36 @@ def test_sample_logger_writes_mp4_and_tb_video(pipe, tmp_path):
         assert any("tfevents" in f for f in tb_files)
 
 
+def test_sample_logger_denoise_rows(pipe, tmp_path):
+    """plot_denoise_rows (via log_images_kwargs, like the reference
+    ddpm3d.py:1131/1195-1197): one grid PNG per sample, one row per logged
+    DDIM intermediate (incl. the x_T seed row), T frames per row."""
+    from PIL import Image
+
+    from dynamicrafter_tpu.training.logging import SampleLogger
+
+    sl = SampleLogger(pipe, str(tmp_path), every_n_steps=1,
+                      sample_kwargs=dict(steps=4, plot_denoise_rows=True,
+                                         denoise_log_every_t=2),
+                      max_samples=1, log_inputs=False, to_tensorboard=False)
+    assert sl.plot_denoise_rows and sl.denoise_log_every_t == 2
+    assert "plot_denoise_rows" not in sl.kwargs  # not leaked into sample()
+    batch = {
+        "video": np.random.default_rng(0).uniform(
+            -1, 1, (1, 4, 16, 16, 3)).astype(np.float32),
+        "captions": ["a test clip"],
+        "fs": np.asarray([3]),
+    }
+    sl.maybe_log(1, batch)
+    pngs = [f for f in os.listdir(tmp_path / "samples")
+            if f.endswith("_denoise_row.png")]
+    assert len(pngs) == 1
+    # steps=4, log_every_t=2: descending index 3(first),2,0 saved + x_T seed
+    # row = 4 rows of T=4 frames at 16x16 px
+    im = Image.open(tmp_path / "samples" / pngs[0])
+    assert im.size == (4 * 16, 4 * 16)  # (width, height)
+
+
 def test_launch_app_builds_three_tabs(monkeypatch):
     """launch_app wires i2v + interp + loop tabs with examples and a
     random-seed button (reference gradio_app.py:38-181 + the interp/loop
