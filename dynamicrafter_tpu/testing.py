@@ -1,5 +1,6 @@
 """Tiny full-pipeline model config (CPU-friendly) for smoke tests and
-multi-chip dry runs."""
+multi-chip dry runs, plus the executed sp-sharded inference check shared by
+tests/test_sp_executed_inference.py and __graft_entry__.dryrun_multichip."""
 
 TINY_MODEL_CONFIG = {
     "model": {
@@ -95,3 +96,128 @@ TINY_MODEL_CONFIG = {
         },
     }
 }
+
+
+def midsize_unet_config(temporal_length: int = 16):
+    """Full FLAGSHIP topology (4 levels, mult (1,2,4,4), 2 res blocks/level,
+    attention at ds 1/2/4, temporal conv+attn, init_attn, dual cross-attn,
+    fs conditioning — configs/inference_1024_v1.0.yaml) at small channels.
+
+    Same block graph and therefore the same sp collective plan as the real
+    model; small enough to EXECUTE on the virtual CPU mesh."""
+    from dynamicrafter_tpu.models.unet3d import UNetConfig
+
+    return UNetConfig(
+        in_channels=8, out_channels=4, model_channels=32,
+        attention_resolutions=(4, 2, 1), num_res_blocks=2,
+        channel_mult=(1, 2, 4, 4), num_head_channels=16,
+        transformer_depth=1, context_dim=48,
+        temporal_conv=True, temporal_attention=True,
+        temporal_length=temporal_length, addition_attention=True,
+        image_cross_attention=True,
+        image_cross_attention_scale_learnable=True,
+        default_fs=3, fs_condition=True)
+
+
+def run_sp_inference(
+    mesh=None,
+    *,
+    unet_cfg=None,
+    b: int = 1,
+    t: int = 16,
+    h: int = 16,
+    w: int = 40,
+    passes: int = 2,
+    steps: int = 2,
+    eta: float = 1.0,
+    seed: int = 0,
+):
+    """EXECUTE a short DDIM sampling run (CFG-batched, pre-drawn noise) on
+    `mesh` (None = single device) and return the final latent as numpy.
+
+    The run exercises the full inference-step stack the flagship claim rests
+    on: v-parameterization + ZTSNR + dynamic rescale + guidance rescale, the
+    eta>0 noise path, and 2- or 3-pass CFG folded into one UNet call. All
+    conditioning is random at runtime (zero/constant conditioning lets XLA
+    CSE the CFG passes — round-2 bench artifact).
+
+    Same seed => identical inputs, so `run_sp_inference(mesh) ==
+    run_sp_inference(None)` is the sharded-equals-single-device check.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from dynamicrafter_tpu import schedule as sched_lib
+    from dynamicrafter_tpu.models.unet3d import UNetModel
+    from dynamicrafter_tpu.parallel.sharding import (
+        DATA_AXIS, SEQ_AXIS, use_mesh,
+    )
+    from dynamicrafter_tpu.sampling.ddim import (
+        CFGConditioning, SamplerSettings, ddim_sample, make_cfg_denoiser,
+    )
+
+    if unet_cfg is None:
+        unet_cfg = midsize_unet_config(t)
+    unet = UNetModel(unet_cfg, dtype=jnp.float32)
+    zc = unet_cfg.out_channels
+    cc = unet_cfg.in_channels - zc
+    ctx = unet_cfg.context_dim
+
+    keys = jax.random.split(jax.random.PRNGKey(seed), 7)
+    # jitted (persistent-cacheable) init, memoized per (cfg, shape, seed):
+    # the single-device and sharded runs share one param build, keeping the
+    # whole check inside the driver's dryrun budget
+    memo_key = (unet_cfg, b, t, h, w, seed)
+    memo = run_sp_inference.__dict__.setdefault("_param_memo", {})
+    if memo_key in memo:
+        params = memo[memo_key]
+    else:
+        x_init = jnp.zeros((b, t, h, w, unet_cfg.in_channels))
+        params = jax.jit(unet.init)(
+            keys[0], x_init, jnp.zeros((b,), jnp.int32),
+            context_text=jnp.zeros((b, 77, ctx)),
+            context_img=jnp.zeros((b, t, 4, ctx)),
+            fs=jnp.full((b,), 3, jnp.int32))["params"]
+        memo[memo_key] = params
+
+    cond = CFGConditioning(
+        context_text=jax.random.normal(keys[1], (passes, b, 77, ctx)),
+        context_img=jax.random.normal(keys[2], (passes, b, t, 4, ctx)),
+        concat=0.2 * jax.random.normal(keys[3], (passes, b, t, h, w, cc)),
+        fs=jnp.full((b,), 3, jnp.int32))
+    x_T = jax.random.normal(keys[4], (b, t, h, w, zc))
+    noise = jax.random.normal(keys[5], (steps, b, t, h, w, zc))
+
+    schedule = sched_lib.build_schedule(
+        timesteps=1000, beta_schedule="linear",
+        linear_start=0.00085, linear_end=0.012, parameterization="v",
+        rescale_betas_zero_snr=True, use_dynamic_rescale=True,
+        base_scale=0.7, turning_step=400)
+    table = sched_lib.build_ddim_table(
+        schedule, num_steps=steps, discretize="uniform_trailing", eta=eta)
+    settings = SamplerSettings(
+        steps=steps, discretize="uniform_trailing", eta=eta,
+        cfg_scale=7.5, cfg_img=1.5 if passes == 3 else None,
+        guidance_rescale=0.7, parameterization="v")
+
+    def unet_apply(p, x, ts, context_text, context_img, fs):
+        return unet.apply({"params": p}, x, ts, context_text=context_text,
+                          context_img=context_img, fs=fs)
+
+    @jax.jit
+    def run(params, x_T, cond, noise):
+        model_fn = make_cfg_denoiser(unet_apply, params, cond, settings)
+        return ddim_sample(model_fn, x_T, schedule, table, settings,
+                           noise=noise)
+
+    if mesh is None:
+        return np.asarray(run(params, x_T, cond, noise))
+    with use_mesh(mesh):
+        # shard what divides; indivisible axes stay replicated (the
+        # constraint-drop path, parallel/sharding.py::constrain)
+        spec = P(DATA_AXIS if b % mesh.shape[DATA_AXIS] == 0 else None,
+                 SEQ_AXIS if t % mesh.shape[SEQ_AXIS] == 0 else None)
+        x_T = jax.device_put(x_T, NamedSharding(mesh, spec))
+        return np.asarray(run(params, x_T, cond, noise))

@@ -26,6 +26,14 @@ import jax
 # The axon plugin sets jax_platforms="axon,cpu" via jax.config at interpreter
 # startup; override it back to CPU-only for the test suite.
 jax.config.update("jax_platforms", "cpu")
+# The sitecustomize plugin also imports jax BEFORE this file runs, so the
+# JAX_COMPILATION_CACHE_DIR env var above is read too late (jax config
+# defaults bind env at import) — set the config explicitly or the persistent
+# cache silently never initializes (found round 4: every suite run was
+# recompiling everything).
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 # True fp32 matmuls for parity tests (JAX's default CPU path may use a
 # lower-precision dot that costs ~1e-2 absolute error).
 jax.config.update("jax_default_matmul_precision", "highest")
