@@ -53,6 +53,9 @@ class ModelConfig:
         assert target_role(model_node.get("target", "LatentVisualDiffusion")) == "model"
         p = dict(model_node.get("params", {}))
         self.params = p
+        # model-node-level keys (siblings of params in the reference schema:
+        # main/utils_train.py:138-160, main/trainer.py:88-93)
+        self.pretrained_checkpoint = model_node.get("pretrained_checkpoint")
 
         # diffusion-level settings (ddpm3d.py:40-120, 464-548)
         self.timesteps = p.get("timesteps", 1000)

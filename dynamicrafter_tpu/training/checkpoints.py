@@ -17,22 +17,44 @@ import orbax.checkpoint as ocp
 
 class CheckpointManager:
     def __init__(self, directory: str, max_to_keep: Optional[int] = None,
-                 save_interval_steps: int = 1):
+                 save_interval_steps: int = 1,
+                 monitor: Optional[str] = None, top_k: int = 3,
+                 mode: str = "min"):
+        """monitor: metric name for best-k retention — the reference's
+        monitored ModelCheckpoint (main/utils_train.py:68-73: when
+        model.params.monitor is set, save_top_k=3, mode='min'). When set,
+        only the `top_k` checkpoints with the best `metrics[monitor]` are
+        kept and save() should be given the current metrics dict."""
         directory = os.path.abspath(directory)
         os.makedirs(directory, exist_ok=True)
+        self.monitor = monitor
+        self.mode = mode
+        opts = dict(max_to_keep=max_to_keep,
+                    save_interval_steps=save_interval_steps, create=True)
+        if monitor is not None:
+            assert mode in ("min", "max"), mode
+            opts.update(best_fn=lambda m: m[monitor], best_mode=mode,
+                        max_to_keep=top_k)
         self._mngr = ocp.CheckpointManager(
-            directory,
-            options=ocp.CheckpointManagerOptions(
-                max_to_keep=max_to_keep,
-                save_interval_steps=save_interval_steps,
-                create=True,
-            ),
-        )
+            directory, options=ocp.CheckpointManagerOptions(**opts))
 
-    def save(self, step: int, state: Any, force: bool = False) -> bool:
+    def save(self, step: int, state: Any, force: bool = False,
+             metrics: Optional[dict] = None) -> bool:
+        if self.monitor is not None:
+            metrics = dict(metrics or {})
+            if self.monitor not in metrics:
+                # no measurement yet (e.g. checkpoint before the first val
+                # pass) -> rank worst rather than fail the save
+                metrics[self.monitor] = float("inf") if self.mode == "min" \
+                    else float("-inf")
+            metrics = {k: float(v) for k, v in metrics.items()}
         saved = self._mngr.save(
-            step, args=ocp.args.StandardSave(state), force=force)
+            step, args=ocp.args.StandardSave(state), force=force,
+            metrics=metrics)
         return bool(saved)
+
+    def all_steps(self):
+        return sorted(self._mngr.all_steps())
 
     def restore(self, state_template: Any, step: Optional[int] = None) -> Any:
         step = step if step is not None else self._mngr.latest_step()

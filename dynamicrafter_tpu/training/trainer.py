@@ -95,24 +95,15 @@ def create_train_state(trainable_params: Any, cfg: TrainConfig,
     return state, tx
 
 
-def make_train_step(pipe, cfg: TrainConfig, tx: optax.GradientTransformation):
-    """Build the jitted train step for a DynamiCrafterPipeline's modules.
+def make_batch_input(pipe, cfg: TrainConfig):
+    """Build the traced conditioning-assembly function
+    (get_batch_input equivalent, ddpm3d.py:1058-1128).
 
-    Batch dict: video (B,T,H,W,3) in [-1,1], tokens (B,77) int32,
-    fs (B,) int32. Trainable = UNet (+ image_proj/resampler,
-    ddpm3d.py:1202-1216); VAE and CLIP towers are frozen.
+    Returned fn(frozen, trainable, batch, rng) -> (z, text_ctx, img_ctx, cc).
+    Module-level so tests can pin the batch prep (CFG dropout masks,
+    rand_cond_frame, interp first/last-frame concat) directly.
     """
-    schedule = pipe.schedule
     scale_factor = pipe.config.scale_factor
-    unet = pipe.unet
-    if cfg.remat and cfg.remat_policy == "blocks":
-        # nested per-layer remat INSIDE the module tree (param structure is
-        # unchanged — nn.remat is transparent to variable scoping); the
-        # outer flat checkpoint below is skipped for this policy because a
-        # single-level checkpoint cannot segment the backward (measured
-        # 55.8/43.7 GB vs 16 GB HBM at 576x1024 on v5e)
-        from dynamicrafter_tpu.models.unet3d import UNetModel
-        unet = UNetModel(unet.config, dtype=unet.dtype, remat_layers=True)
     t_len = pipe.unet_config.temporal_length
     null_tokens = jnp.asarray(pipe.tokenizer([""]))
 
@@ -162,6 +153,7 @@ def make_train_step(pipe, cfg: TrainConfig, tx: optax.GradientTransformation):
         img_ctx = img_ctx.reshape(b, t, -1, img_ctx.shape[-1])
 
         if cfg.interp_mode:
+            # first/last-frame latents, zeros elsewhere (ddpm3d.py:1095-1102)
             cc = jnp.zeros_like(z)
             cc = cc.at[:, 0].set(z[:, 0]).at[:, -1].set(z[:, -1])
         else:
@@ -169,6 +161,28 @@ def make_train_step(pipe, cfg: TrainConfig, tx: optax.GradientTransformation):
             cc = jnp.broadcast_to(zc[:, None], z.shape)
 
         return z, text_ctx, img_ctx, cc
+
+    return batch_input
+
+
+def make_train_step(pipe, cfg: TrainConfig, tx: optax.GradientTransformation):
+    """Build the jitted train step for a DynamiCrafterPipeline's modules.
+
+    Batch dict: video (B,T,H,W,3) in [-1,1], tokens (B,77) int32,
+    fs (B,) int32. Trainable = UNet (+ image_proj/resampler,
+    ddpm3d.py:1202-1216); VAE and CLIP towers are frozen.
+    """
+    schedule = pipe.schedule
+    unet = pipe.unet
+    if cfg.remat and cfg.remat_policy == "blocks":
+        # nested per-layer remat INSIDE the module tree (param structure is
+        # unchanged — nn.remat is transparent to variable scoping); the
+        # outer flat checkpoint below is skipped for this policy because a
+        # single-level checkpoint cannot segment the backward (measured
+        # 55.8/43.7 GB vs 16 GB HBM at 576x1024 on v5e)
+        from dynamicrafter_tpu.models.unet3d import UNetModel
+        unet = UNetModel(unet.config, dtype=unet.dtype, remat_layers=True)
+    batch_input = make_batch_input(pipe, cfg)
 
     def loss_fn(trainable, frozen, batch, rng):
         r_batch, r_t, r_noise = jax.random.split(rng, 3)

@@ -163,6 +163,15 @@ def main():
     pipe = DynamiCrafterPipeline(model_cfg, dtype=dtype, mesh=mesh,
                                  tokenizer=tokenizer, cast_storage=False)
 
+    if not args.pretrained and model_cfg.pretrained_checkpoint:
+        # YAML-driven pretrained weights (reference main/utils_train.py:
+        # 138-160 load_checkpoints reads model.pretrained_checkpoint)
+        if os.path.exists(model_cfg.pretrained_checkpoint):
+            args.pretrained = model_cfg.pretrained_checkpoint
+        else:
+            log.info(f"pretrained_checkpoint "
+                     f"{model_cfg.pretrained_checkpoint!r} not found on "
+                     f"disk; training from the CLI-provided or random init")
     if args.pretrained and args.pretrained.endswith((".ckpt", ".pt", ".pth")):
         loaded = DynamiCrafterPipeline.from_checkpoint(
             args.config[0], args.pretrained, dtype=dtype, mesh=mesh,
@@ -205,6 +214,9 @@ def main():
         use_ema=model_cfg.params.get("use_ema", False),
         remat=model_cfg.unet.get("use_checkpoint", True),
     )
+    log.info(f"batch prep: interp_mode={tcfg.interp_mode} "
+             f"rand_cond_frame={tcfg.rand_cond_frame} "
+             f"uncond_prob={tcfg.uncond_prob}")
     trainable = {"unet": pipe.params["unet"]}
     if model_cfg.params.get("image_proj_model_trainable", True) \
             and "resampler" in pipe.params:
@@ -225,8 +237,16 @@ def main():
     ckpt_cfg = lightning.get("callbacks", {}).get("model_checkpoint", {}) \
         .get("params", {})
     ckpt_every = ckpt_cfg.get("every_n_train_steps", 9000)
+    # monitored best-k retention (reference main/utils_train.py:68-73: a
+    # model.params.monitor key switches ModelCheckpoint to save_top_k=3
+    # mode='min'); typical monitor: val/loss_ema
+    monitor = model_cfg.params.get("monitor")
+    if monitor:
+        log.info(f"monitoring {monitor} as checkpoint metric (top-3, min)")
     mngr = CheckpointManager(os.path.join(workdir, "checkpoints"),
-                             max_to_keep=3)
+                             max_to_keep=3, monitor=monitor,
+                             top_k=ckpt_cfg.get("save_top_k", 3),
+                             mode=ckpt_cfg.get("mode", "min"))
     if args.auto_resume:
         restored = mngr.restore(state)
         if restored is not None:
@@ -314,6 +334,7 @@ def main():
     # lets XLA dispatch run ahead and only metric/val fetches synchronize
     step = int(state.step)
     m = None
+    last_val = {}   # most recent val metrics (feeds monitored checkpoints)
     with use_mesh(mesh):
         for batch in loader:
             if step >= max_steps:
@@ -343,9 +364,10 @@ def main():
                         "tokens": jnp.asarray(vb["tokens"]),
                         "fs": jnp.asarray(vb["fs"])}
                 vals = eval_fn(state, frozen, jval, rng)
-                metrics_log.log(step, {k: float(v) for k, v in vals.items()})
+                last_val = {k: float(v) for k, v in vals.items()}
+                metrics_log.log(step, last_val)
                 log.info(f"step {step} val: " + " ".join(
-                    f"{k}={float(v):.4g}" for k, v in vals.items()))
+                    f"{k}={v:.4g}" for k, v in last_val.items()))
             if step % args.log_every == 0:
                 vals = {k: float(v) for k, v in m.items()}
                 vals["steps_per_s"] = args.log_every / (time.time() - t_last)
@@ -356,7 +378,8 @@ def main():
             if step % ckpt_every == 0 or want_ckpt["now"]:
                 pipe.params = {**frozen, **{k: state.params[k]
                                             for k in trainable}}
-                mngr.save(step, state, force=want_ckpt["now"])
+                mngr.save(step, state, force=want_ckpt["now"],
+                          metrics=last_val)
                 want_ckpt["now"] = False
                 log.info(f"checkpoint at step {step}")
             if sample_logger is not None:
@@ -376,7 +399,7 @@ def main():
     # step (ckpt_every divides max_steps / SIGUSR1), and orbax raises
     # StepAlreadyExistsError on a re-save rather than overwriting
     if mngr.latest_step() != int(state.step):
-        mngr.save(int(state.step), state, force=True)
+        mngr.save(int(state.step), state, force=True, metrics=last_val)
     mngr.wait()
     log.info(f"done at step {int(state.step)}")
 

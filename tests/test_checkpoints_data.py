@@ -44,6 +44,30 @@ def test_checkpoint_manager_roundtrip(tmp_path):
     mngr.close()
 
 
+def test_monitored_top_k_checkpoints(tmp_path):
+    """monitor-based best-k retention (reference main/utils_train.py:68-73:
+    model.params.monitor -> ModelCheckpoint save_top_k=3 mode='min'): only
+    the 3 checkpoints with the lowest monitored metric survive; a save
+    without a measurement ranks worst and is dropped."""
+    mngr = CheckpointManager(str(tmp_path / "ckpts"),
+                             monitor="val/loss_ema", top_k=3, mode="min")
+    for step, v in {1: 5.0, 2: 1.0, 3: 4.0, 4: 2.0, 5: 3.0}.items():
+        assert mngr.save(step, {"w": np.arange(4.0) + step},
+                         metrics={"val/loss_ema": v})
+    mngr.wait()
+    assert mngr.all_steps() == [2, 4, 5]    # best three by min val/loss_ema
+
+    # checkpoint saved before any val pass: ranked worst, dropped
+    mngr.save(6, {"w": np.zeros(4)})
+    mngr.wait()
+    assert 6 not in mngr.all_steps()
+
+    restored = mngr.restore({"w": np.zeros(4)}, step=2)
+    np.testing.assert_array_equal(np.asarray(restored["w"]),
+                                  np.arange(4.0) + 2)
+    mngr.close()
+
+
 def test_synthetic_dataset_and_loader():
     ds = SyntheticVideoDataset(video_length=4, resolution=(16, 16), size=10)
     sample = ds[0]
@@ -334,4 +358,69 @@ def test_train_cli_1024_recipe_smoke(tmp_path):
         capture_output=True, text=True, env=env, timeout=1200, cwd=repo)
     assert res.returncode == 0, res.stderr[-3000:]
     csv = tmp_path / "logs" / "smoke1024" / "metrics.csv"
+    assert csv.exists() and "loss" in csv.read_text()
+
+
+@pytest.mark.slow
+def test_train_cli_interp_preset_smoke(tmp_path):
+    """One train step through the REAL interp/loop fine-tune preset
+    (configs/training_512_interp.yaml — reference
+    configs/training_512_v1.0/config_interp.yaml: interp_mode on,
+    rand_cond_frame off) shrunk with a tiny overlay. Asserts the interp
+    batch path is active from the YAML alone (train.log records the batch
+    prep flags; the first/last-frame concat math itself is pinned by
+    tests/test_trainer.py::test_interp_mode_batch_prep_first_last_concat)."""
+    import yaml
+
+    from dynamicrafter_tpu.config import ModelConfig
+    from dynamicrafter_tpu.testing import TINY_MODEL_CONFIG
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # YAML-alone flag plumbing (scripts/train.py maps these into TrainConfig)
+    mc = ModelConfig.from_yaml(
+        os.path.join(repo, "configs", "training_512_interp.yaml"))
+    assert mc.interp_mode is True
+    assert mc.rand_cond_frame is False
+    assert "interp" in mc.pretrained_checkpoint
+
+    tiny = TINY_MODEL_CONFIG["model"]["params"]
+    overlay = {
+        "model": {"params": {
+            "unet_config": {"params": {
+                "model_channels": 32,
+                "attention_resolutions": [2, 1],
+                "num_res_blocks": 1,
+                "channel_mult": [1, 2],
+                "num_head_channels": 16,
+                "context_dim": 48,
+                "temporal_length": 4,
+            }},
+            "first_stage_config": tiny["first_stage_config"],
+            "image_proj_stage_config": tiny["image_proj_stage_config"],
+            "clip_text_config": tiny["clip_text_config"],
+            "clip_vision_config": tiny["clip_vision_config"],
+        }},
+        "data": {"params": {"batch_size": 1, "train": {"params": {
+            "video_length": 4, "resolution": [16, 16]}}}},
+        "lightning": {"trainer": {"max_steps": 1}},
+    }
+    ov_path = tmp_path / "shrink_interp.yaml"
+    ov_path.write_text(yaml.dump(overlay))
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    res = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "train.py"),
+         "--base", os.path.join(repo, "configs", "training_512_interp.yaml"),
+         str(ov_path), "--name", "smokeinterp",
+         "--logdir", str(tmp_path / "logs"), "--synthetic_data",
+         "--max_steps", "1", "--log_every", "1"],
+        capture_output=True, text=True, env=env, timeout=1200, cwd=repo)
+    assert res.returncode == 0, res.stderr[-3000:]
+    train_log = (tmp_path / "logs" / "smokeinterp" / "train.log").read_text()
+    assert "interp_mode=True" in train_log
+    assert "rand_cond_frame=False" in train_log
+    csv = tmp_path / "logs" / "smokeinterp" / "metrics.csv"
     assert csv.exists() and "loss" in csv.read_text()

@@ -67,6 +67,33 @@ def test_train_step_updates_params(pipe):
     assert "val/loss_ema" in vals
 
 
+def test_interp_mode_batch_prep_first_last_concat(pipe):
+    """interp_mode: c_concat carries the first/last-frame latents with zeros
+    for middle frames (ddpm3d.py:1095-1102, the interp/loop training
+    preset's batch path — configs/training_512_interp.yaml)."""
+    from dynamicrafter_tpu.training.trainer import make_batch_input
+
+    frozen = {k: v for k, v in pipe.params.items()
+              if k in ("vae", "clip_text", "clip_vision")}
+    trainable = {"unet": pipe.params["unet"],
+                 "resampler": pipe.params["resampler"]}
+    batch = _batch(pipe)
+
+    cfg = TrainConfig(interp_mode=True, rand_cond_frame=False)
+    z, _, _, cc = jax.jit(make_batch_input(pipe, cfg))(
+        frozen, trainable, batch, jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(np.asarray(cc[:, 0]), np.asarray(z[:, 0]))
+    np.testing.assert_array_equal(np.asarray(cc[:, -1]), np.asarray(z[:, -1]))
+    assert np.all(np.asarray(cc[:, 1:-1]) == 0.0)
+
+    # default (non-interp): cond frame repeated across T (ddpm3d.py:1104-1107)
+    cfg0 = TrainConfig(interp_mode=False, rand_cond_frame=False)
+    z0, _, _, cc0 = jax.jit(make_batch_input(pipe, cfg0))(
+        frozen, trainable, batch, jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(
+        np.asarray(cc0), np.broadcast_to(np.asarray(z0[:, :1]), cc0.shape))
+
+
 def test_train_step_multidevice_dp(pipe):
     n = len(jax.devices())
     assert n == 8, "conftest should provide 8 virtual CPU devices"
