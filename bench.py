@@ -322,6 +322,16 @@ def main():
     baseline = 3.0  # A100 reference: 20 s/clip @ 320x512
     detail["backend"] = jax.default_backend()
 
+    # Fidelity-gate visibility: the PSNR>40 check needs released weights; if
+    # they are mounted we say where, else ONE actionable line on stderr
+    # (stdout stays a single JSON line for the driver).
+    from dynamicrafter_tpu.utils.discovery import discover
+
+    found, blocked = discover("512")
+    detail["fidelity_gate"] = (found["checkpoint"] or "blocked")
+    if blocked:
+        print(blocked, file=sys.stderr)
+
     print(json.dumps({
         "metric": metric,
         "value": round(clips_per_min, 3),

@@ -63,7 +63,10 @@ def load_reference_frames(path: str) -> np.ndarray:
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--config", required=True)
-    p.add_argument("--ckpt_path", required=True)
+    p.add_argument("--ckpt_path", default=None,
+                   help="released model.ckpt; omitted -> auto-discovered "
+                        "from standard mount points / the HF offline cache "
+                        "(utils/discovery.py)")
     p.add_argument("--image", required=True)
     p.add_argument("--prompt", default="")
     p.add_argument("--height", type=int, default=256)
@@ -82,12 +85,27 @@ def main():
     args = p.parse_args()
 
     from dynamicrafter_tpu.pipeline import DynamiCrafterPipeline
+    from dynamicrafter_tpu.utils.discovery import discover
     from dynamicrafter_tpu.utils.tokenizer import default_tokenizer
     from dynamicrafter_tpu.utils.video import load_image, save_video
 
+    # zero-friction gate: auto-discover weights + vocab; when absent, print
+    # ONE actionable line and exit 2 (the gate is environment-blocked, not
+    # failed)
+    res = "256" if args.width <= 256 else \
+        ("512" if args.width <= 512 else "1024")
+    found, blocked = discover(res)
+    if args.ckpt_path is None:
+        args.ckpt_path = found["checkpoint"]
+    if args.vocab_path is None:
+        args.vocab_path = found["vocab"]
+    if args.ckpt_path is None or args.vocab_path is None:
+        print(blocked)
+        sys.exit(2)
+
     pipe = DynamiCrafterPipeline.from_checkpoint(
         args.config, args.ckpt_path,
-        tokenizer=default_tokenizer(args.vocab_path))
+        tokenizer=default_tokenizer(args.vocab_path, require_real=True))
 
     img = load_image(args.image, (args.height, args.width))
     video = np.stack([img] * args.video_length)[None]
