@@ -11,9 +11,12 @@ existed, the honest 1024 headline had to stay the exact sampler's.
 
 Caveats (stated in PARITY_RESULTS.md alongside the table):
   * random bf16 weights (no released checkpoint mounted in this sandbox) —
-    identical FLOPs/memory, but trained nets have SMOOTHER deep features
-    across adjacent timesteps, so random-weight PSNR is, if anything, a
-    pessimistic proxy for cache-reuse error;
+    identical FLOPs/memory, but the quality transfer to trained weights is
+    unproven in both directions: trained nets have smoother deep features
+    across adjacent timesteps (favors trained), while the 0.02-scale random
+    init attenuates deep-path contributions relative to the skip paths
+    (favors random). Re-run this script the moment released weights mount
+    (utils/discovery.py finds them) for the binding numbers;
   * N must divide the step count (sampling/ddim.py:273), so N in {3,4} is
     certified at 48 steps against a 48-step exact baseline (N in {2,5} at
     the shipped 50).
@@ -21,6 +24,13 @@ Caveats (stated in PARITY_RESULTS.md alongside the table):
 Run on the real TPU chip (plain `python scripts/deepcache_certify.py`);
 writes one JSON line per (resolution, cfg_mode, N) and, with --out, a
 markdown table appended to PARITY_RESULTS.md.
+
+Compile economics (why --intervals defaults to just 5): every distinct
+(resolution, cfg passes, N) is its own XLA module, and the tunneled remote
+compiler takes ~10+ min per full-size module (docs/DESIGN.md "Measured").
+N=5 is the advertised serving flag, so it is certified first; re-runs with
+more intervals reuse the exact-baseline executables through the persistent
+compile cache and only pay for the new-N modules.
 """
 from __future__ import annotations
 
@@ -34,6 +44,20 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 ".."))
 
 import numpy as np  # noqa: E402
+
+
+def _enable_compile_cache():
+    """Persistent compile cache — must be set via jax.config (the axon
+    sitecustomize plugin imports jax before env vars set here would bind;
+    see __graft_entry__.py). Cuts the ~10 min/module tunneled remote
+    compile to a local load on every re-run."""
+    import jax
+
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.expanduser("~/.cache/jax_dctpu_tests"))
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 
 def _psnr(a: np.ndarray, b: np.ndarray) -> float:
@@ -74,7 +98,28 @@ def _ssim(a: np.ndarray, b: np.ndarray, win: int = 8) -> float:
     return float(s.mean())
 
 
-def run_config(mc, h, w, steps, n_list, passes, dtype):
+def _load_real_params(res: str):
+    """(unet_params, decoder_params) from an auto-discovered released
+    checkpoint, or None when none is mounted. Params stay fp32 (a superset
+    of serving's fp32-island rule); compute is bf16 either way, and both
+    the exact and deepcache samples share the same params, so the
+    comparison is apples-to-apples regardless."""
+    from dynamicrafter_tpu.utils import weights as W
+    from dynamicrafter_tpu.utils.discovery import find_checkpoint
+
+    path = find_checkpoint(res)
+    if path is None:
+        return None
+    from dynamicrafter_tpu.utils.torch_reader import load_torch_checkpoint
+
+    sd = W.normalize_state_dict(load_torch_checkpoint(path))
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    split = W.split_reference_checkpoint(sd)
+    print(f"# using released weights: {path}", flush=True)
+    return W.convert_unet(split["unet"]), W.convert_vae(split["vae"])["decoder"]
+
+
+def run_config(mc, h, w, steps, n_list, passes, dtype, real=None):
     """Returns rows: one dict per N (N=1 is the exact baseline, not a row)."""
     import jax
     import jax.numpy as jnp
@@ -108,12 +153,16 @@ def run_config(mc, h, w, steps, n_list, passes, dtype):
         concat=jax.random.normal(keys[3], (passes, b, t_len, h, w, zc),
                                  dtype),
         fs=jnp.full((b,), 24, jnp.int32))
-    xfull = jnp.zeros((passes * b, t_len, h, w, 2 * zc), dtype)
-    uparams = _random_params(
-        unet, xfull, jnp.zeros((passes * b,), jnp.int32),
-        context_text=jnp.zeros((passes * b, 77, ctx_dim), dtype),
-        context_img=jnp.zeros((passes * b, t_len, n_img_tok, ctx_dim), dtype),
-        fs=jnp.zeros((passes * b,), jnp.int32))
+    if real is not None:
+        uparams = real[0]
+    else:
+        xfull = jnp.zeros((passes * b, t_len, h, w, 2 * zc), dtype)
+        uparams = _random_params(
+            unet, xfull, jnp.zeros((passes * b,), jnp.int32),
+            context_text=jnp.zeros((passes * b, 77, ctx_dim), dtype),
+            context_img=jnp.zeros((passes * b, t_len, n_img_tok, ctx_dim),
+                                  dtype),
+            fs=jnp.zeros((passes * b,), jnp.int32))
 
     schedule = sched_lib.build_schedule(
         timesteps=mc.timesteps, linear_start=mc.linear_start,
@@ -122,7 +171,10 @@ def run_config(mc, h, w, steps, n_list, passes, dtype):
         use_dynamic_rescale=mc.use_dynamic_rescale, base_scale=mc.base_scale)
 
     decoder = Decoder(vae_cfg, dtype=dtype)
-    dparams = _random_params(decoder, jnp.zeros((1, h, w, zc), dtype))
+    if real is not None:
+        dparams = real[1]
+    else:
+        dparams = _random_params(decoder, jnp.zeros((1, h, w, zc), dtype))
 
     @jax.jit
     def decode(z):  # (T, h, w, zc) -> (T, H, W, 3) fp32, per-frame semantics
@@ -156,7 +208,12 @@ def run_config(mc, h, w, steps, n_list, passes, dtype):
     for n in n_list:
         n_steps = steps if steps % n == 0 else (steps // n) * n
         if n_steps not in exact:
+            print(f"# exact baseline steps={n_steps} (compiling...)",
+                  flush=True)
+            t0 = time.time()
             exact[n_steps] = sample(n_steps, 1)
+            print(f"# exact baseline done in {time.time() - t0:.0f}s",
+                  flush=True)
         t0 = time.time()
         z, px = sample(n_steps, n)
         z_ref, px_ref = exact[n_steps]
@@ -176,11 +233,18 @@ def run_config(mc, h, w, steps, n_list, passes, dtype):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--resolutions", default="256,512")
-    p.add_argument("--intervals", default="2,3,4,5")
+    p.add_argument("--intervals", default="5",
+                   help="comma list; each N is a separate ~10 min remote "
+                        "compile, so the advertised serving interval (5) "
+                        "is the default — extend on re-runs (baselines "
+                        "come back from the compile cache)")
     p.add_argument("--steps", type=int, default=50)
+    p.add_argument("--cfg_passes", default="2,3")
     p.add_argument("--out", default=None,
                    help="append a markdown table to this file")
     args = p.parse_args()
+
+    _enable_compile_cache()
 
     import jax
     import jax.numpy as jnp
@@ -195,18 +259,26 @@ def main():
         mc = ModelConfig.from_yaml(
             os.path.join(here, "configs", f"inference_{res}_v1.0.yaml"))
         h, w = shapes[res]
-        for passes in (2, 3):
+        real = _load_real_params(res)
+        if real is None:
+            print(f"# resolution {res}: no released checkpoint mounted — "
+                  "random bf16 weights (utils/discovery.py lists the "
+                  "search paths)", flush=True)
+        for passes in [int(x) for x in args.cfg_passes.split(",")]:
             print(f"# resolution {res}, {passes}-pass CFG", flush=True)
             rows = run_config(mc, h, w, args.steps, n_list, passes,
-                              jnp.bfloat16)
+                              jnp.bfloat16, real=real)
             for r in rows:
                 r["resolution"] = res
+                r["weights"] = "released" if real is not None else "random"
             all_rows.extend(rows)
 
     if args.out:
+        wkinds = sorted({r["weights"] for r in all_rows})
         with open(args.out, "a") as f:
             f.write("\n## DeepCache quality vs exact sampler "
-                    f"(random bf16 weights, {jax.default_backend()})\n\n")
+                    f"({'/'.join(wkinds)} bf16 weights, "
+                    f"{jax.default_backend()})\n\n")
             f.write("| res | CFG | N | steps | latent PSNR dB | "
                     "pixel PSNR dB | pixel SSIM |\n|---|---|---|---|---|"
                     "---|---|\n")
