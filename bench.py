@@ -226,10 +226,16 @@ def _bench_resolution(mc, b, h, w, steps, dtype, sequential_cfg,
     if alt_scan_seconds is not None:
         out["ddim50_cfg_scan_alt_s"] = round(alt_scan_seconds, 3)
 
-    # Opt-in: DeepCache accelerated sampling (BENCH_DEEPCACHE=N). Reported
-    # as separate detail keys, never as the headline: it is an opt-in
-    # approximation (different outputs), not the parity workload.
-    dc = int(os.environ.get("BENCH_DEEPCACHE", "0"))
+    # DeepCache accelerated sampling: reported as separate detail keys,
+    # never as the headline (it is an approximation — different outputs
+    # from the exact sampler, so not the parity workload). Default N=5 is
+    # the CERTIFIED serving interval: >=90 dB latent / >=68 dB pixel PSNR
+    # vs exact at full-size 256/512, both CFG modes (PARITY_RESULTS.md
+    # "DeepCache quality"; scripts/deepcache_certify.py). BENCH_DEEPCACHE=0
+    # disables, =N overrides.
+    dc = int(os.environ.get("BENCH_DEEPCACHE", "5"))
+    if dc > 1 and steps % dc != 0:
+        dc = 0  # CPU-fallback tiny step counts: skip rather than crash
     if dc > 1 and not bake:
         import dataclasses as _dc2
 
@@ -249,6 +255,18 @@ def _bench_resolution(mc, b, h, w, steps, dtype, sequential_cfg,
 
 def main():
     import jax
+
+    # Persistent compile cache: the tunneled remote compiler takes ~10+ min
+    # per full-size module; caching makes repeat bench runs compile-free.
+    # Must go through jax.config — the axon sitecustomize plugin imports
+    # jax at interpreter startup, so env vars set here bind too late
+    # (same fix as __graft_entry__.py). Timing is unaffected: time_once
+    # excludes the first (compiling) call from its measurement.
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                       os.path.expanduser("~/.cache/jax_dctpu_tests")))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
     from dynamicrafter_tpu.config import ModelConfig
 

@@ -282,6 +282,7 @@ def test_grain_loader_matches_schema_and_shards():
     assert type(make_loader("threads", ds, batch_size=2)).__name__ == "DataLoader"
 
 
+@pytest.mark.slow
 def test_grain_loader_worker_processes():
     """worker_count>0 spawns real processes; dataset must be picklable.
     Grain shards the sampler stream across workers BEFORE batching, so
@@ -304,6 +305,7 @@ def test_grain_loader_worker_processes():
     assert sorted(a) == sorted(c)        # same records either way
 
 
+@pytest.mark.slow
 def test_train_cli_1024_recipe_smoke(tmp_path):
     """One train step through the REAL 576x1024 recipe YAML
     (configs/training_1024_v1.0.yaml: v-param, base_scale 0.3, perframe_ae,

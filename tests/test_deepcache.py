@@ -10,6 +10,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # module-scoped UNet compile dominates
+
 from dynamicrafter_tpu import schedule as sched_lib
 from dynamicrafter_tpu.models.unet3d import UNetConfig, UNetModel
 from dynamicrafter_tpu.sampling.ddim import (

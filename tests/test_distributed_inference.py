@@ -11,6 +11,9 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # multi-process subprocess launch
 
 from dynamicrafter_tpu.testing import TINY_MODEL_CONFIG
 

@@ -51,6 +51,7 @@ def _tokens_with_eos(rng, vocab, b, ctx):
 @pytest.mark.parametrize("layer,layer_idx", [
     ("last", None), ("pooled", None), ("hidden", -2), ("hidden", 1),
 ])
+@pytest.mark.slow
 def test_hf_clip_text_parity(layer, layer_idx):
     model, base = _tiny_hf_clip()
     cfg = HFCLIPTextConfig(**{**base.__dict__,
@@ -209,6 +210,7 @@ def _tiny_with_cond_stage(target, params=None, clip_text=None):
     return ModelConfig(node)
 
 
+@pytest.mark.slow
 def test_pipeline_builds_hf_clip_text_from_config():
     cfg = _tiny_with_cond_stage(
         "lvdm.modules.encoders.condition.FrozenCLIPEmbedder",

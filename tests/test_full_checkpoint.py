@@ -90,6 +90,7 @@ def build_fake_checkpoint(tmp_path, deepspeed=False):
         unet=unet, text=text, vision=vision, resampler=resampler)
 
 
+@pytest.mark.slow
 @requires_reference
 def test_from_checkpoint_component_parity(tmp_path):
     cfg_path, ckpt_path, oracles = build_fake_checkpoint(tmp_path)

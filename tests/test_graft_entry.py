@@ -22,6 +22,7 @@ def test_dryrun_multichip_subprocess():
     assert "loss=" in res.stdout
 
 
+@pytest.mark.slow
 def test_entry_shapes():
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import __graft_entry__ as g

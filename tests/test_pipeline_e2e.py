@@ -32,6 +32,7 @@ def test_sample_standard_cfg(pipe):
     assert np.all(np.isfinite(out.videos))
 
 
+@pytest.mark.slow
 def test_sample_deterministic_given_seed(pipe):
     kw = dict(steps=2, cfg_scale=1.5, eta=1.0,
               timestep_spacing="uniform_trailing", seed=7)
@@ -40,6 +41,7 @@ def test_sample_deterministic_given_seed(pipe):
     np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_sample_multicond(pipe):
     out = pipe.sample(
         ["a dog"], _videos(), steps=2, cfg_scale=2.0, cfg_img=1.5,
@@ -50,6 +52,7 @@ def test_sample_multicond(pipe):
     assert np.all(np.isfinite(out.videos))
 
 
+@pytest.mark.slow
 def test_sample_interp_mode(pipe):
     out = pipe.sample(
         ["loop"], _videos(), steps=2, cfg_scale=2.0, eta=0.0,
@@ -58,6 +61,7 @@ def test_sample_interp_mode(pipe):
     assert np.all(np.isfinite(out.videos))
 
 
+@pytest.mark.slow
 def test_latents_only_and_decode(pipe):
     z = pipe.sample(["x"], _videos(), steps=2, cfg_scale=1.0,
                     timestep_spacing="uniform_trailing", seed=3, decode=False)
@@ -72,6 +76,7 @@ def test_no_cfg_single_pass(pipe):
     assert np.all(np.isfinite(out.videos))
 
 
+@pytest.mark.slow
 def test_sample_with_latent_mask(pipe):
     """Inpaint-style conditioning: masked latents held at x0."""
     import jax

@@ -20,6 +20,7 @@ def pipe():
     return p
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("weight_type", ["t", "ada", "uniform"])
 def test_sds_runs_and_updates_latents(pipe, weight_type):
     sds = SDSGuidancePipeline(pipe, SDSSettings(
@@ -56,6 +57,7 @@ def test_sds_debug_dumps(pipe, tmp_path):
     assert os.path.exists(tmp_path / "d" / "loss_analysis.png")
 
 
+@pytest.mark.slow
 def test_sds_optimizer_types(pipe):
     """AdamW vs Adam (reference guidance_pipeline.py:769-774) both optimize
     and produce different trajectories (wd + beta2 differ)."""
@@ -76,6 +78,7 @@ def test_sds_optimizer_types(pipe):
             optimizer_type="sgd"))(["a cat"], vids, seed=1, fs=[3])
 
 
+@pytest.mark.slow
 def test_guidance_cli_single_sample_mode(tmp_path):
     """The reference's own input mode (--prompt + --condition_image,
     generate_dynamicrafter_pipeline.py:86-91) plus its flag spellings
@@ -114,6 +117,7 @@ def test_guidance_cli_single_sample_mode(tmp_path):
     assert "min_step_ratio_end" in res.stdout  # dead-flag warning surfaced
 
 
+@pytest.mark.slow
 def test_inference_cli_smoke(tmp_path):
     """scripts/inference.py end-to-end on the tiny config + prompt dir."""
     import yaml
@@ -146,6 +150,7 @@ def test_inference_cli_smoke(tmp_path):
     assert len(outs) == 1
 
 
+@pytest.mark.slow
 def test_app_backend(tmp_path, monkeypatch):
     """Image2Video backend with the tiny config (bypasses full-size configs)."""
     import dynamicrafter_tpu.app as app
@@ -176,6 +181,7 @@ def test_app_backend(tmp_path, monkeypatch):
     assert os.path.exists(path) and path.endswith(".mp4")
 
 
+@pytest.mark.slow
 def test_sample_logger_writes_mp4_and_tb_video(pipe, tmp_path):
     """SampleLogger = ImageLogger equivalent: mp4s on disk + a TensorBoard
     add_video summary (reference main/callbacks.py:31-55)."""
@@ -199,6 +205,7 @@ def test_sample_logger_writes_mp4_and_tb_video(pipe, tmp_path):
         assert any("tfevents" in f for f in tb_files)
 
 
+@pytest.mark.slow
 def test_sample_logger_denoise_rows(pipe, tmp_path):
     """plot_denoise_rows (via log_images_kwargs, like the reference
     ddpm3d.py:1131/1195-1197): one grid PNG per sample, one row per logged
@@ -288,6 +295,7 @@ def test_launch_app_builds_three_tabs(monkeypatch):
     assert record["examples"] == 1 and record["example_rows"]
 
 
+@pytest.mark.slow
 def test_inference_cli_interp_two_images(tmp_path):
     """--interp pairs two images per prompt (inference.py:71-113 convention)."""
     import yaml

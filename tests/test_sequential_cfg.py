@@ -2,6 +2,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # two full sampler compiles
+
 from dynamicrafter_tpu.config import ModelConfig
 from dynamicrafter_tpu.pipeline import DynamiCrafterPipeline
 from tiny_config import TINY_MODEL_CONFIG

@@ -3,6 +3,8 @@ and match the single-device result."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-device sampler compiles
+
 import jax
 
 from dynamicrafter_tpu.config import ModelConfig

@@ -35,6 +35,7 @@ def test_small_t_extra_batch_dims():
     np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_small_t_grad_matches_xla():
     rng = np.random.default_rng(2)
     shape = (260, 16, 2, 32)

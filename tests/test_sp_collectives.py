@@ -19,6 +19,8 @@ import re
 import jax
 import jax.numpy as jnp
 import pytest
+
+pytestmark = pytest.mark.slow  # sp=8 HLO lowering of the full block stack
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from dynamicrafter_tpu.models.unet3d import (

@@ -33,6 +33,7 @@ def _batch(pipe, b=2, t=4, hw=16):
     }
 
 
+@pytest.mark.slow
 def test_train_step_updates_params(pipe):
     cfg = TrainConfig(learning_rate=1e-3, parameterization="v", remat=True,
                       use_ema=True)
@@ -94,6 +95,7 @@ def test_interp_mode_batch_prep_first_last_concat(pipe):
         np.asarray(cc0), np.broadcast_to(np.asarray(z0[:, :1]), cc0.shape))
 
 
+@pytest.mark.slow
 def test_train_step_multidevice_dp(pipe):
     n = len(jax.devices())
     assert n == 8, "conftest should provide 8 virtual CPU devices"
@@ -112,6 +114,7 @@ def test_train_step_multidevice_dp(pipe):
     assert np.isfinite(float(m["loss"]))
 
 
+@pytest.mark.slow
 def test_opt_state_zero_sharded_over_dp(pipe):
     """AdamW moments + EMA shadow come out of the train step sharded over dp
     (ZeRO-2 equivalent of the reference's default DDPSharded strategy,
@@ -144,6 +147,7 @@ def test_opt_state_zero_sharded_over_dp(pipe):
         "EMA shadow not ZeRO-sharded after a step"
 
 
+@pytest.mark.slow
 def test_accumulation_and_clipping(pipe):
     cfg = TrainConfig(learning_rate=1e-3, accumulate_grad_batches=2,
                       grad_clip=0.5, use_ema=False, remat=False)
@@ -164,6 +168,7 @@ def test_accumulation_and_clipping(pipe):
     assert total_diff(s1.params, s2.params) > 0.0
 
 
+@pytest.mark.slow
 def test_remat_blocks_policy_grads_exact(pipe):
     """Per-block remat (save_only_these_names('unet_block') over the
     checkpoint_name boundaries in UNetModel) must reproduce the plain

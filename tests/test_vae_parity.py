@@ -140,6 +140,7 @@ def test_decode_tiled_exact_for_local_decoder():
     np.testing.assert_allclose(tiled, full, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_decode_tiled_real_decoder_smoke():
     """With a real (GroupNorm-global) decoder, tiling shifts per-tile norm
     stats; assert shape/finiteness and rough agreement scale only."""
