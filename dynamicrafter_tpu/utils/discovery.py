@@ -9,6 +9,7 @@ and every path that was searched.
 
 Searched layouts per resolution (reference checkpoint table, README.md:292):
   * $DYNAMICRAFTER_CKPT / $DYNAMICRAFTER_CKPT_<RES> env overrides
+    ($DYNAMICRAFTER_VOCAB for the BPE vocab)
   * ./checkpoints/dynamicrafter_<res>[_interp]_v1/model.ckpt
     (the reference run-script convention, scripts/run.sh)
   * common mount roots: /root, /data, /mnt, /models
@@ -66,7 +67,10 @@ def checkpoint_candidates(resolution: str) -> List[str]:
 def vocab_candidates() -> List[str]:
     from dynamicrafter_tpu.utils.tokenizer import _DEFAULT_VOCAB_CANDIDATES
 
-    cands = list(_DEFAULT_VOCAB_CANDIDATES)
+    cands = []
+    if os.environ.get("DYNAMICRAFTER_VOCAB"):
+        cands.append(os.environ["DYNAMICRAFTER_VOCAB"])
+    cands += list(_DEFAULT_VOCAB_CANDIDATES)
     for root in _MOUNT_ROOTS:
         cands.append(os.path.join(root, "bpe_simple_vocab_16e6.txt.gz"))
     # open_clip ships the vocab inside the package
