@@ -79,13 +79,15 @@ class Image2Video:
     def get_image(self, image: np.ndarray, prompt: str, steps: int = 50,
                   cfg_scale: float = 7.5, eta: float = 1.0, fs: int = None,
                   seed: int = 123, image2: Optional[np.ndarray] = None,
-                  deepcache: int = 1) -> str:
+                  deepcache: int = 1, sampler: str = "ddim") -> str:
         """image: (H, W, 3) uint8 or float [-1,1]; returns mp4 path."""
         from dynamicrafter_tpu.utils.video import save_video
 
         spec = self.spec
         fs = spec["fs"] if fs is None else fs  # `or` would swallow fs=0
         t = self.pipe.unet_config.temporal_length or 16
+        if sampler == "dpm":
+            deepcache = 1  # DeepCache is certified on DDIM only
         if deepcache > 1 and steps % deepcache != 0:
             # UI affordance: snap to the largest divisor of steps <= the
             # requested interval (the pipeline itself is strict)
@@ -111,6 +113,7 @@ class Image2Video:
             guidance_rescale=spec["guidance_rescale"], fs=[fs], seed=seed,
             loop_or_interp=self.mode in ("interp", "loop"),
             deepcache=deepcache,
+            sampler=sampler,
         )
         frames = out.videos[0, 0]
         if self.mode == "loop":
@@ -208,10 +211,14 @@ def launch_app(resolution: str = "320_512", ckpt_path: Optional[str] = None,
                               label="DeepCache interval (1 = off; N>1 "
                                     "reuses deep UNet features for faster, "
                                     "slightly approximate sampling)")
+        sampler = gr.Radio(["ddim", "dpm"], value="ddim",
+                           label="Sampler (dpm = DPM-Solver++(2M): "
+                                 "deterministic, DDIM-50 quality at ~30 "
+                                 "steps; ignores ETA/DeepCache)")
         import random as _random
         rnd.click(fn=lambda: _random.randint(0, max_seed), outputs=seed,
                   queue=False)
-        return prompt, steps, cfg, eta, fs, seed, deepcache
+        return prompt, steps, cfg, eta, fs, seed, deepcache, sampler
 
     h, w = spec["height"], spec["width"]
     with gr.Blocks() as demo:
@@ -223,7 +230,7 @@ def launch_app(resolution: str = "320_512", ckpt_path: Optional[str] = None,
                 with gr.Column():
                     image = gr.Image(label="Input Image")
                     (prompt, steps, cfg, eta, fs, seed,
-                     deepcache) = build_controls()
+                     deepcache, sampler) = build_controls()
                     go = gr.Button("Generate")
                 with gr.Column():
                     video = gr.Video(label="Generated Video", autoplay=True)
@@ -236,7 +243,7 @@ def launch_app(resolution: str = "320_512", ckpt_path: Optional[str] = None,
                             cache_examples=False)
             go.click(lambda *a: _run(get_backend("i2v"), *a),
                      inputs=[image, prompt, steps, cfg, eta, fs, seed,
-                             deepcache],
+                             deepcache, sampler],
                      outputs=[video])
 
         with gr.Tab(label=f"Interpolation_{h}x{w}"):
@@ -245,14 +252,14 @@ def launch_app(resolution: str = "320_512", ckpt_path: Optional[str] = None,
                     image_a = gr.Image(label="First Frame")
                     image_b = gr.Image(label="Last Frame")
                     (prompt2, steps2, cfg2, eta2, fs2, seed2,
-                     deepcache2) = build_controls()
+                     deepcache2, sampler2) = build_controls()
                     go2 = gr.Button("Generate")
                 with gr.Column():
                     video2 = gr.Video(label="Generated Video", autoplay=True)
             go2.click(lambda im, im2, *a: _run(get_backend("interp"), im, *a,
                                                image2=im2),
                       inputs=[image_a, image_b, prompt2, steps2, cfg2, eta2,
-                              fs2, seed2, deepcache2],
+                              fs2, seed2, deepcache2, sampler2],
                       outputs=[video2])
 
         with gr.Tab(label=f"Looping_{h}x{w}"):
@@ -260,7 +267,7 @@ def launch_app(resolution: str = "320_512", ckpt_path: Optional[str] = None,
                 with gr.Column():
                     image3 = gr.Image(label="Input Image")
                     (prompt3, steps3, cfg3, eta3, fs3, seed3,
-                     deepcache3) = build_controls()
+                     deepcache3, sampler3) = build_controls()
                     go3 = gr.Button("Generate")
                 with gr.Column():
                     video3 = gr.Video(label="Generated Video", autoplay=True)
@@ -269,7 +276,7 @@ def launch_app(resolution: str = "320_512", ckpt_path: Optional[str] = None,
             go3.click(lambda im, *a: _run(get_backend("loop"), im, *a,
                                           image2=im),
                       inputs=[image3, prompt3, steps3, cfg3, eta3, fs3, seed3,
-                              deepcache3],
+                              deepcache3, sampler3],
                       outputs=[video3])
 
     if not launch:
@@ -278,7 +285,7 @@ def launch_app(resolution: str = "320_512", ckpt_path: Optional[str] = None,
 
 
 def _run(backend, image, prompt, steps, cfg, eta, fs, seed, deepcache=1,
-         image2=None):
+         sampler="ddim", image2=None):
     return backend.get_image(image, prompt, int(steps), float(cfg),
                              float(eta), int(fs), int(seed), image2=image2,
-                             deepcache=int(deepcache))
+                             deepcache=int(deepcache), sampler=str(sampler))

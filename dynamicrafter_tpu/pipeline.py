@@ -45,6 +45,7 @@ from dynamicrafter_tpu.sampling.ddim import (
     ddim_sample,
     make_cfg_denoiser,
 )
+from dynamicrafter_tpu.sampling.dpm import dpm_sample
 from dynamicrafter_tpu.utils import weights as W
 from dynamicrafter_tpu.utils.tokenizer import default_tokenizer
 
@@ -445,9 +446,27 @@ class DynamiCrafterPipeline:
         key = (settings, log_every_t)
         if key in self._sampler_cache:
             return self._sampler_cache[key]
+        if settings.sampler not in ("ddim", "dpm"):
+            raise ValueError(f"unknown sampler {settings.sampler!r}; "
+                             "expected 'ddim' or 'dpm'")
+        if settings.sampler == "dpm" and log_every_t is not None:
+            raise ValueError("log_every_t intermediates are a DDIM-surface "
+                             "feature (reference ddim.py:199-201); use "
+                             "sampler='ddim'")
+        # DPM++(2M) is the deterministic ODE solver: its coefficients ignore
+        # the table's eta-sigmas, so build the table at eta=0 regardless.
         table = sched_lib.build_ddim_table(
             self.schedule, num_steps=settings.steps,
-            discretize=settings.discretize, eta=settings.eta)
+            discretize=settings.discretize,
+            eta=0.0 if settings.sampler == "dpm" else settings.eta)
+
+        def _scan(model_fn, x_T, rng, mask, x0):
+            if settings.sampler == "dpm":
+                return dpm_sample(model_fn, x_T, self.schedule, table,
+                                  settings, rng=rng, mask=mask, x0=x0)
+            return ddim_sample(model_fn, x_T, self.schedule, table,
+                               settings, rng=rng, mask=mask, x0=x0,
+                               log_every_t=log_every_t)
 
         if self.bake_params:
             baked = self.params["unet"]
@@ -457,17 +476,13 @@ class DynamiCrafterPipeline:
                 del unet_params  # baked as constants
                 model_fn = make_cfg_denoiser(self._unet_apply, baked, cond,
                                              settings)
-                return ddim_sample(model_fn, x_T, self.schedule, table,
-                                   settings, rng=rng, mask=mask, x0=x0,
-                                   log_every_t=log_every_t)
+                return _scan(model_fn, x_T, rng, mask, x0)
         else:
             @jax.jit
             def run(unet_params, x_T, cond, rng, mask=None, x0=None):
                 model_fn = make_cfg_denoiser(self._unet_apply, unet_params,
                                              cond, settings)
-                return ddim_sample(model_fn, x_T, self.schedule, table,
-                                   settings, rng=rng, mask=mask, x0=x0,
-                                   log_every_t=log_every_t)
+                return _scan(model_fn, x_T, rng, mask, x0)
 
         self._sampler_cache[key] = run
         return run
@@ -496,6 +511,7 @@ class DynamiCrafterPipeline:
         mask: Optional[np.ndarray] = None,   # (B,T,h,w,c) 1=keep x0 latent
         x0_latents: Optional[np.ndarray] = None,
         log_every_t: Optional[int] = None,
+        sampler: str = "ddim",
     ):
         """Image-guided synthesis (reference inference.py:216-313).
 
@@ -504,6 +520,10 @@ class DynamiCrafterPipeline:
         as PipelineOutput.denoise_rows, with decode=False the raw latent
         stack (n_logs+1, B, T, h, w, c) is returned alongside the latents.
         Requires n_samples == 1.
+
+        sampler: "ddim" (the reference surface) or "dpm" — DPM-Solver++(2M),
+        a deterministic second-order solver of the same ODE (sampling/dpm.py);
+        eta/log_every_t/deepcache are DDIM-only.
         """
         assert self.params is not None, "load or init params first"
         if log_every_t is not None and n_samples != 1:
@@ -531,6 +551,7 @@ class DynamiCrafterPipeline:
                 parameterization=self.config.parameterization,
                 sequential_cfg=sequential_cfg,
                 deepcache=deepcache,
+                sampler=sampler,
             )
             run = self._sampler(settings, log_every_t)
             variants = []

@@ -52,6 +52,11 @@ class SamplerSettings:
                                            # (DeepCache, Ma et al. CVPR'24;
                                            # opt-in approximation, no
                                            # reference counterpart)
+    sampler: str = "ddim"                  # "ddim" (reference surface) or
+                                           # "dpm" = DPM-Solver++(2M)
+                                           # (sampling/dpm.py; deterministic,
+                                           # ~1.7x fewer steps at DDIM-50
+                                           # quality — beyond reference)
 
 
 class CFGConditioning(NamedTuple):

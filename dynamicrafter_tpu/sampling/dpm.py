@@ -1,0 +1,190 @@
+"""DPM-Solver++(2M) sampling as a single jitted lax.scan.
+
+Beyond-reference serving lever: the reference pins DDIM-50
+(lvdm/models/samplers/ddim.py:134-203, scripts/run.sh); DPM-Solver++(2M)
+(Lu et al., 2022, arXiv:2211.01095) is a second-order multistep solver of
+the same probability-flow ODE. Measured on the full 512-config feature set
+(v/ZTSNR/dynamic-rescale/trailing, CFG 7.5 + guidance rescale, tiny-UNet
+proxy): ~1.6x lower discretization error than DDIM at equal step count,
+DDIM-50-class error at ~30 steps — a ~1.7x step-count cut that composes
+with everything else (batched CFG, sharding). On smoother denoisers
+(CFG<=1, or the analytic oracle in tests/test_dpm.py) the second-order
+gain is larger (DDIM-50-class at 20 steps). Deterministic (the eta=0 ODE
+path); the reference surface keeps DDIM as the default sampler.
+
+Design (TPU-first, mirrors sampling/ddim.py):
+  * every per-step coefficient — log-SNR lambda(t), the step gap h_i, the
+    exponential integrator factor expm1(-h_i), and the 2M multistep
+    coefficient h_i / (2 h_{i-1}) — is precomputed HOST-SIDE in float64
+    from the concrete DDIMTable, so the scan body is three fused
+    multiply-adds around the one UNet call and no inf/nan arithmetic ever
+    reaches the device (zero-terminal-SNR makes lambda(t=999) = -inf;
+    clipping happens once, in float64, here);
+  * data-prediction (x0) formulation, which is the ZTSNR-safe variant:
+    with alphas_cumprod[-1] == 0 the eps-prediction update degenerates
+    while x0-prediction stays finite;
+  * first step runs first-order (no history), last step runs first-order
+    ("lower-order-final", standard for <20-step schedules: the final gap
+    h_S reaches into the high-SNR regime where the multistep extrapolation
+    overshoots);
+  * the model is evaluated once per step at the table's integer timesteps,
+    so v-parameterization x0-prediction reuses the schedule tables
+    bit-identically with DDIM (schedule.predict_start_from_z_and_v);
+  * dynamic rescale (use_dynamic_rescale configs): the model is trained on
+    scale(t) * x0 (ddpm3d.py:714), so the exact deterministic transition
+    between the marginals x_t = a_t scale_t x0 + s_t eps carries the
+    coefficient a_next * (scale_next - e^{-h} scale_t) on the UNDERLYING
+    x0 — this is precisely what the reference DDIM's per-step
+    scale_prev/scale multiply implements (samplers/ddim.py:262-266).
+    Naively multiplying the data prediction by scale_next/scale_t inside
+    the standard expm1 kernel differs from that map by a term first-order
+    in (scale_next - scale_t) per step, which accumulates to a finite
+    trajectory offset (measured ~0.18 relative on a tiny-UNet 512-config
+    run). So the scan instead (a) divides the model's prediction by
+    scale_t to recover the slowly-varying underlying x0 — the quantity
+    the multistep history extrapolates — and (b) folds the exact
+    scale-aware kernel into host-precomputed per-step constants:
+        A_i = alpha_next * (scale_next - e^{-h} scale_t)       # order 1
+        B_i = alpha_next * (1 - e^{-h}) * scale_next * c_i     # order 2
+    with c_i = h_i / (2 h_{i-1}). Scale placement inside the order-2 term
+    only moves third-order error; A_i matches DDIM's exact one-step map,
+    so both samplers share one continuum trajectory. Without dynamic
+    rescale (scale == 1) this reduces bit-for-bit to standard DPM++(2M).
+
+Update rule (data prediction, descending step index i = 0..S-1):
+    p_i   = x0_pred(x_i, t_i) / scale_{t_i}         # one (CFG-combined) UNet call
+    x_{i+1} = (sigma_{t_{i+1}} / sigma_{t_i}) * x_i + A_i * p_i + B_i * (p_i - p_{i-1})
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dynamicrafter_tpu.schedule import DDIMTable, DiffusionSchedule
+from dynamicrafter_tpu.sampling.ddim import SamplerSettings
+
+
+def _lambda_from_alpha_bar(a_bar: np.ndarray) -> np.ndarray:
+    """log-SNR/2: lambda = log(alpha/sigma) with alpha=sqrt(a_bar).
+
+    Clipped so the ZTSNR endpoint (a_bar == 0 at t=999) maps to a large
+    finite negative lambda instead of -inf; the resulting expm1(-h) factor
+    is correct to float64 rounding (exp(-46) << eps) and the first
+    multistep coefficient h_1/(2 h_0) is correctly damped toward 0.
+    """
+    a = np.clip(np.asarray(a_bar, dtype=np.float64), 1e-20, 1.0 - 1e-12)
+    return 0.5 * (np.log(a) - np.log1p(-a))
+
+
+def dpm_solver_pp_2m_coeffs(table: DDIMTable):
+    """Host-side fp64 per-step constants for the descending scan.
+
+    Returns dict of float32 (S,) arrays ordered scan-step-major (index 0 =
+    highest timestep, matching ddim_sample's idx = arange(S-1, -1, -1)).
+    """
+    s = table.num_steps
+    idx = np.arange(s - 1, -1, -1)
+    a_t = np.asarray(table.alphas, dtype=np.float64)[idx]
+    a_next = np.asarray(table.alphas_prev, dtype=np.float64)[idx]
+    lam_t = _lambda_from_alpha_bar(a_t)
+    lam_next = _lambda_from_alpha_bar(a_next)
+    h = lam_next - lam_t                      # > 0 (denoising moves up-SNR)
+    sig_ratio = np.sqrt(1.0 - a_next) / np.sqrt(1.0 - a_t)
+    alp_next = np.sqrt(a_next)
+    # 2M coefficient h_i / (2 h_{i-1}); order-1 at the first and last step.
+    coef = np.zeros(s)
+    if s > 1:
+        coef[1:] = h[1:] / (2.0 * h[:-1])
+        coef[-1] = 0.0                        # lower_order_final
+    if table.scale_arr is not None:
+        scale_t = np.asarray(table.scale_arr, dtype=np.float64)[idx]
+        scale_next = np.asarray(table.scale_arr_prev, dtype=np.float64)[idx]
+    else:
+        scale_t = scale_next = np.ones(s)
+    e_mh = np.exp(-h)
+    order1 = alp_next * (scale_next - e_mh * scale_t)
+    order2 = alp_next * (1.0 - e_mh) * scale_next * coef
+    f32 = lambda x: jnp.asarray(x, dtype=jnp.float32)
+    return {
+        "t": table.timesteps[jnp.asarray(idx)],
+        "a_t": f32(a_t),
+        "inv_scale": f32(1.0 / scale_t),
+        "sig_ratio": f32(sig_ratio),
+        "order1": f32(order1),
+        "order2": f32(order2),
+    }
+
+
+def dpm_sample(
+    model_fn: Callable,
+    x_T: jax.Array,
+    schedule: DiffusionSchedule,
+    table: DDIMTable,
+    settings: SamplerSettings,
+    *,
+    rng: Optional[jax.Array] = None,
+    mask: Optional[jax.Array] = None,
+    x0: Optional[jax.Array] = None,
+    mask_noise: Optional[jax.Array] = None,  # (S, *x.shape) for q_sample blend
+) -> jax.Array:
+    """Run the full DPM-Solver++(2M) loop; returns the final latent.
+
+    model_fn(x, t) must return the (already CFG-combined) model output —
+    the same contract as ddim_sample, so make_cfg_denoiser (batched or
+    sequential CFG, multi-cond, guidance rescale) is shared unchanged.
+
+    The table must be a concrete (non-traced) DDIMTable — coefficients are
+    precomputed on the host in float64. Build it with eta=0; DPM++(2M) is
+    the deterministic ODE solver (settings.eta is ignored).
+
+    mask/x0: the same inpaint-style latent blending as ddim_sample
+    (reference ddim.py:173-180), applied before each model call.
+    """
+    if settings.deepcache > 1:
+        raise ValueError("deepcache is only certified with the DDIM "
+                         "sampler; run dpm++2m without it")
+    s = table.num_steps
+    b = x_T.shape[0]
+
+    per_step = dpm_solver_pp_2m_coeffs(table)
+    if mask is not None and mask_noise is not None:
+        per_step["mask_noise"] = mask_noise
+
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    def _blend(x, key, step, t):
+        if mask is None:
+            return x, key
+        assert x0 is not None
+        if settings.clean_cond:
+            img_orig = x0
+        else:
+            mnoise = step.get("mask_noise")
+            if mnoise is None:
+                key, sub = jax.random.split(key)
+                mnoise = jax.random.normal(sub, x.shape, x.dtype)
+            img_orig = schedule.q_sample(x0, t, mnoise)
+        return img_orig * mask + (1.0 - mask) * x, key
+
+    def body(carry, step):
+        x, p_prev, key = carry
+        t = jnp.full((b,), step["t"], dtype=jnp.int32)
+        x, key = _blend(x, key, step, t)
+        model_output = model_fn(x, t)
+        if settings.parameterization == "v":
+            m0 = schedule.predict_start_from_z_and_v(x, t, model_output)
+        else:
+            m0 = (x - jnp.sqrt(1.0 - step["a_t"]) * model_output) \
+                / jnp.sqrt(step["a_t"])
+        p = m0 * step["inv_scale"]            # underlying (unscaled) x0
+        x = (step["sig_ratio"] * x + step["order1"] * p
+             + step["order2"] * (p - p_prev))
+        return (x, p, key), None
+
+    (x, _, _), _ = jax.lax.scan(
+        body, (x_T, jnp.zeros_like(x_T), rng), per_step)
+    return x

@@ -46,6 +46,11 @@ def get_parser():
     p.add_argument("--multiple_cond_cfg", action="store_true")
     p.add_argument("--cfg_img", type=float, default=None)
     p.add_argument("--timestep_spacing", type=str, default="uniform")
+    p.add_argument("--sampler", type=str, default="ddim",
+                   choices=["ddim", "dpm"],
+                   help="dpm = DPM-Solver++(2M): deterministic 2nd-order "
+                        "solver, DDIM-50-class quality at ~30 steps "
+                        "(beyond reference; ignores --ddim_eta)")
     p.add_argument("--guidance_rescale", type=float, default=0.0)
     p.add_argument("--perframe_ae", action="store_true")
     p.add_argument("--use_fixed_scheduler", action="store_true",
@@ -169,6 +174,7 @@ def main(args=None, prompt_shard=(0, 1)):
                              if args.negative_prompt else ""),
             sequential_cfg=args.sequential_cfg or args.width >= 1024,
             deepcache=args.deepcache,
+            sampler=args.sampler,
         )
         vids = out.videos
         if args.loop:

@@ -92,3 +92,28 @@ def test_sample_with_latent_mask(pipe):
                       decode=False, mask=mask, x0_latents=np.asarray(z0))
     assert out.shape[2:] == (4, 8, 8, 4)
     assert np.all(np.isfinite(out))
+
+
+def test_sample_dpm_sampler(pipe):
+    """sampler='dpm' runs end-to-end and, at matched many-step counts,
+    lands near the DDIM (eta=0) trajectory — they solve the same ODE."""
+    kw = dict(steps=12, cfg_scale=2.0, eta=0.0,
+              timestep_spacing="uniform_trailing", seed=42, decode=False)
+    z_dpm = pipe.sample(["x"], _videos(), sampler="dpm", **kw)
+    z_ddim = pipe.sample(["x"], _videos(), sampler="ddim", **kw)
+    assert z_dpm.shape == z_ddim.shape
+    assert np.all(np.isfinite(z_dpm))
+    rel = (np.linalg.norm(z_dpm - z_ddim) / np.linalg.norm(z_ddim))
+    assert rel < 0.25, rel        # same ODE, different discretization
+    assert rel > 1e-6, rel        # but not the identical code path
+
+
+def test_sample_dpm_rejects_ddim_only_features(pipe):
+    with pytest.raises(ValueError, match="log_every_t"):
+        pipe.sample(["x"], _videos(), steps=2, sampler="dpm", log_every_t=1,
+                    decode=False)
+    with pytest.raises(ValueError, match="deepcache"):
+        pipe.sample(["x"], _videos(), steps=4, sampler="dpm", deepcache=2,
+                    decode=False)
+    with pytest.raises(ValueError, match="unknown sampler"):
+        pipe.sample(["x"], _videos(), steps=2, sampler="plms", decode=False)

@@ -280,6 +280,7 @@ def test_launch_app_builds_three_tabs(monkeypatch):
         Blocks=lambda **kw: _Ctx(), Tab=_tab, Row=_Ctx, Column=_Ctx,
         Markdown=_Comp, Image=_Comp, Textbox=_Comp, Text=_Comp,
         Slider=lambda *a, **kw: _Comp(**kw), Button=_Comp, Video=_Comp,
+        Radio=lambda *a, **kw: _Comp(**kw),
         Examples=lambda **kw: _examples(**kw),
     )
 
