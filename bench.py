@@ -250,6 +250,33 @@ def _bench_resolution(mc, b, h, w, steps, dtype, sequential_cfg,
         out[f"ddim50_deepcache{dc}_scan_s"] = round(dc_scan_seconds, 3)
         out[f"e2e_clip_s_deepcache{dc}"] = round(
             (cond_seconds + dc_scan_seconds + b * decode_seconds) / b, 2)
+
+    # DPM-Solver++(2M) fast mode: exact-model sampling at a lower step
+    # count (DDIM-50-class discretization error at ~30 steps, tests/
+    # test_dpm.py). Detail rows only, never the headline (different step
+    # count from the reference's DDIM-50 workload). BENCH_DPM=0 disables,
+    # =N overrides the step count.
+    dpm_steps = int(os.environ.get("BENCH_DPM", "30"))
+    if dpm_steps > 1 and not bake:
+        import dataclasses as _dc3
+
+        from dynamicrafter_tpu.sampling.dpm import dpm_sample
+
+        dpm_settings = _dc3.replace(settings, steps=dpm_steps, eta=0.0,
+                                    sampler="dpm")
+        dpm_table = sched_lib.build_ddim_table(
+            schedule, num_steps=dpm_steps, discretize="uniform_trailing",
+            eta=0.0)
+
+        def dpm_scan(params, c, x0):
+            model_fn = make_cfg_denoiser(unet_apply, params, c, dpm_settings)
+            return dpm_sample(model_fn, x0.astype(jnp.float32), schedule,
+                              dpm_table, dpm_settings).astype(dtype)
+
+        dpm_scan_seconds = time_once(dpm_scan, uparams, cond, x, repeats=2)
+        out[f"dpm{dpm_steps}_cfg_scan_s"] = round(dpm_scan_seconds, 3)
+        out[f"e2e_clip_s_dpm{dpm_steps}"] = round(
+            (cond_seconds + dpm_scan_seconds + b * decode_seconds) / b, 2)
     return out
 
 
@@ -296,7 +323,7 @@ def main():
                     d1024["ddim50_cfg_scan_alt_s"]
             detail["vae_decode_1024_16f_s"] = d1024["vae_decode_16f_s"]
             for k, v in d1024.items():
-                if "deepcache" in k:
+                if "deepcache" in k or "dpm" in k:
                     detail[f"{k}_1024"] = v
             # A100 reference: 75 s/clip at 576x1024 (README.md:292-294)
             detail["vs_baseline_1024"] = round(75.0 / detail["clip_1024_s"], 3)

@@ -199,3 +199,26 @@ def test_dpm_rejects_deepcache():
     st = SamplerSettings(steps=10, deepcache=5)
     with pytest.raises(ValueError, match="deepcache"):
         dpm_sample(lambda x, t: x, jnp.zeros((1, 4)), schedule, table, st)
+
+
+@pytest.mark.slow
+def test_dpm_certify_plumbing(tmp_path):
+    """scripts/dpm_certify.run_config on the tiny config: rows well-formed,
+    DPM at the reference step count is self-consistent (0 error), and the
+    second-order candidate beats the first-order one at equal steps."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    import jax.numpy as jnp
+    from dpm_certify import run_config
+    from dynamicrafter_tpu.config import ModelConfig
+    from tiny_config import TINY_MODEL_CONFIG
+
+    mc = ModelConfig(TINY_MODEL_CONFIG)
+    rows = run_config(mc, 8, 8, [("dpm", 24), ("dpm", 8), ("ddim", 8)],
+                      ref_steps=24, passes=2, dtype=jnp.float32)
+    by = {(r["sampler"], r["steps"]): r for r in rows}
+    assert by[("dpm", 24)]["rel_l2_vs_ref"] == 0.0   # ref reproduced exactly
+    assert np.isfinite(by[("dpm", 8)]["latent_psnr_db"])
+    assert (by[("dpm", 8)]["rel_l2_vs_ref"]
+            < by[("ddim", 8)]["rel_l2_vs_ref"])
