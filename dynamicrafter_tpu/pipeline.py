@@ -544,8 +544,11 @@ class DynamiCrafterPipeline:
                 loop_or_interp=loop_or_interp, fs=fs,
                 negative_prompt=negative_prompt,
             )
+            # eta is DDIM-only; normalize so dpm runs that differ only in
+            # the (ignored) eta share one cache entry / executable
             settings = SamplerSettings(
-                steps=steps, discretize=timestep_spacing, eta=eta,
+                steps=steps, discretize=timestep_spacing,
+                eta=0.0 if sampler == "dpm" else eta,
                 cfg_scale=cfg_scale, cfg_img=cfg_img,
                 guidance_rescale=guidance_rescale,
                 parameterization=self.config.parameterization,
