@@ -20,9 +20,12 @@ Design (TPU-first, mirrors sampling/ddim.py):
     multiply-adds around the one UNet call and no inf/nan arithmetic ever
     reaches the device (zero-terminal-SNR makes lambda(t=999) = -inf;
     clipping happens once, in float64, here);
-  * data-prediction (x0) formulation, which is the ZTSNR-safe variant:
-    with alphas_cumprod[-1] == 0 the eps-prediction update degenerates
-    while x0-prediction stays finite;
+  * data-prediction (x0) formulation, which is the ZTSNR-safe variant
+    for v-parameterization: with alphas_cumprod[-1] == 0 recovering x0
+    from a v prediction stays finite, while recovering x0 from an eps
+    prediction divides by sqrt(alpha_bar) = 0 — eps + ZTSNR is therefore
+    rejected at trace time (no shipped config combines them, and the
+    reference DDIM shares the same degeneracy);
   * first step runs first-order (no history), last step runs first-order
     ("lower-order-final", standard for <20-step schedules: the final gap
     h_S reaches into the high-SNR regime where the multistep extrapolation
@@ -71,9 +74,9 @@ def _lambda_from_alpha_bar(a_bar: np.ndarray) -> np.ndarray:
     """log-SNR/2: lambda = log(alpha/sigma) with alpha=sqrt(a_bar).
 
     Clipped so the ZTSNR endpoint (a_bar == 0 at t=999) maps to a large
-    finite negative lambda instead of -inf; the resulting expm1(-h) factor
-    is correct to float64 rounding (exp(-46) << eps) and the first
-    multistep coefficient h_1/(2 h_0) is correctly damped toward 0.
+    finite negative lambda (~-23) instead of -inf; the resulting expm1(-h)
+    factor carries a residual ~exp(-21) — negligible vs fp32 eps — and the
+    first multistep coefficient h_1/(2 h_0) is correctly damped toward 0.
     """
     a = np.clip(np.asarray(a_bar, dtype=np.float64), 1e-20, 1.0 - 1e-12)
     return 0.5 * (np.log(a) - np.log1p(-a))
@@ -146,6 +149,12 @@ def dpm_sample(
     if settings.deepcache > 1:
         raise ValueError("deepcache is only certified with the DDIM "
                          "sampler; run dpm++2m without it")
+    if (settings.parameterization != "v"
+            and float(np.min(np.asarray(table.alphas))) < 1e-8):
+        raise ValueError(
+            "eps-parameterization with a zero-terminal-SNR schedule is "
+            "unsupported: x0 = (x - sigma*eps)/sqrt(alpha_bar) divides by "
+            "zero at the t=999 endpoint; use v-parameterization")
     s = table.num_steps
     b = x_T.shape[0]
 

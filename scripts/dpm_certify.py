@@ -47,7 +47,8 @@ from deepcache_certify import (  # noqa: E402
 )
 
 
-def run_config(mc, h, w, candidates, ref_steps, passes, dtype, real=None):
+def run_config(mc, h, w, candidates, ref_steps, passes, dtype, real=None,
+               sequential_cfg=False):
     """Sample each (sampler, steps) candidate from identical noise/cond and
     score against the fine-step reference. Returns one row per candidate."""
     import jax
@@ -120,7 +121,7 @@ def run_config(mc, h, w, candidates, ref_steps, passes, dtype, real=None):
             steps=n_steps, discretize="uniform_trailing", eta=0.0,
             cfg_scale=7.5, cfg_img=1.5 if passes == 3 else None,
             guidance_rescale=0.7, parameterization=mc.parameterization,
-            sampler=sampler)
+            sampler=sampler, sequential_cfg=sequential_cfg)
         fn = dpm_sample if sampler == "dpm" else ddim_sample
 
         @jax.jit
@@ -138,6 +139,13 @@ def run_config(mc, h, w, candidates, ref_steps, passes, dtype, real=None):
     print(f"# reference done in {time.time() - t0:.0f}s", flush=True)
     ref_norm = float(np.linalg.norm(z_ref))
 
+    def _finite_psnr(a, b):
+        # exact match (e.g. a candidate at ref_steps) gives inf, which
+        # json.dumps renders as the non-standard 'Infinity' token; emit
+        # None instead so the JSON-lines output stays strictly parseable
+        v = _psnr(a, b)
+        return round(v, 2) if np.isfinite(v) else None
+
     rows = []
     for sampler, n_steps in candidates:
         t0 = time.time()
@@ -148,8 +156,8 @@ def run_config(mc, h, w, candidates, ref_steps, passes, dtype, real=None):
             "cfg_passes": passes,
             "rel_l2_vs_ref": round(
                 float(np.linalg.norm(z - z_ref)) / ref_norm, 5),
-            "latent_psnr_db": round(_psnr(z, z_ref), 2),
-            "pixel_psnr_db": round(_psnr(px, px_ref), 2),
+            "latent_psnr_db": _finite_psnr(z, z_ref),
+            "pixel_psnr_db": _finite_psnr(px, px_ref),
             "seconds": round(time.time() - t0, 1),
         })
         print(json.dumps(rows[-1]), flush=True)
@@ -176,7 +184,7 @@ def main():
     from dynamicrafter_tpu.config import ModelConfig
 
     here = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
-    shapes = {"256": (32, 32), "512": (40, 64)}
+    shapes = {"256": (32, 32), "512": (40, 64), "1024": (72, 128)}
     candidates = [(s.split(":")[0], int(s.split(":")[1]))
                   for s in args.candidates.split(",")]
     all_rows = []
@@ -191,8 +199,12 @@ def main():
                   "search paths)", flush=True)
         for passes in [int(x) for x in args.cfg_passes.split(",")]:
             print(f"# resolution {res}, {passes}-pass CFG", flush=True)
+            # 1024 single-chip runs CFG passes serially (the serving-mode
+            # memory fallback, scripts/inference.py:175) — same trajectory,
+            # halved peak activation memory
             rows = run_config(mc, h, w, candidates, args.ref_steps, passes,
-                              jnp.bfloat16, real=real)
+                              jnp.bfloat16, real=real,
+                              sequential_cfg=(res == "1024"))
             for r in rows:
                 r["resolution"] = res
                 r["weights"] = "released" if real is not None else "random"
