@@ -1,6 +1,13 @@
 """Benchmark: 16-frame clips/min/chip at 320x512 + e2e seconds at 576x1024.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "detail"}.
+Prints a JSON line {"metric", "value", "unit", "vs_baseline", "detail"}
+after EVERY measured milestone (flushed); each line is a superset of the
+previous one, so the driver's "last JSON line on stdout" is always the
+richest result available when the process ends OR times out. The 320x512
+headline lands on stdout within the first ~2 minutes of device time; a
+timeout after that can no longer cost the round its numbers (round-4
+lesson: the old all-at-the-end print produced rc=124, parsed=null).
+
 Baselines (BASELINE.md, reference README.md:292-296 on A100):
   320x512: 20 s/clip  => 3.0 clips/min; vs_baseline = ours / 3.0
   576x1024: 75 s/clip (detail field vs_baseline_1024 = 75 / ours)
@@ -16,16 +23,55 @@ backends):
 Weights are RANDOM bf16 (scale 0.02) — identical FLOPs/memory to trained
 weights, and random values keep XLA from algebraically simplifying dots the
 way all-zero constants could.
+
+Time budget: BENCH_BUDGET_S (default 2700) — optional rows (MFU,
+DeepCache/DPM at 512) are skipped when the estimated cost would push wall
+time past the budget; skipped rows are named in a `skipped` detail key
+(the no-silent-caps rule). Estimates are compile-aware: the wall-vs-device
+gap of each exact scan measures this process's actual compile cost (cache
+hit => ~0), and optional-row estimates scale with it, so a cold-cache run
+sheds optional work early instead of timing out. 1024 DeepCache/DPM/
+alt-CFG rows are opt-in (BENCH_1024_EXTRAS=1) after round 4's default
+workload outgrew the driver's timeout. Exact 512 + 1024 rows always run.
+`scripts/warm_cache.py` pre-compiles exactly this graph set so a driver
+run is compile-free when the persistent cache carries across sessions
+(measured ~11 min per full-size scan graph when it does not).
+
+MFU: per-UNet-call FLOPs via client-side `jit(...).lower(...).cost_analysis()`
+(no backend compile), scaled to the 2 CFG passes per sampler step, against
+the chip's bf16 peak (`unet_mfu_512` / `unet_mfu_1024`). docs/DESIGN.md
+"Roofline" attributes the gap.
 """
 from __future__ import annotations
 
 import json
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 STEPS = 50
+
+# bf16 peak FLOP/s by device_kind prefix (longest match wins).
+# v5e ("v5 lite"): 197 TFLOP/s; v5p 459; v4 275; v6e ("v6 lite") 918.
+_PEAK_BF16 = {
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v5p": 459e12,
+    "TPU v4": 275e12,
+    "TPU v6 lite": 918e12,
+    "TPU v6e": 918e12,
+}
+
+
+def _peak_flops(device) -> float | None:
+    kind = getattr(device, "device_kind", "") or ""
+    best = None
+    for prefix, peak in _PEAK_BF16.items():
+        if kind.startswith(prefix) and (best is None or len(prefix) > best[0]):
+            best = (len(prefix), peak)
+    return best[1] if best else None
 
 
 def _random_params(module, *args, **kwargs):
@@ -44,6 +90,12 @@ def _random_params(module, *args, **kwargs):
     vals = [jax.random.normal(k, s.shape, jnp.bfloat16) * 0.02
             for k, s in zip(keys, leaves)]
     return jax.tree_util.tree_unflatten(treedef, vals)
+
+
+def _repeats(default: int) -> int:
+    """BENCH_WARM_ONLY=1 (scripts/warm_cache.py) compiles+executes each
+    graph once instead of timing it `default` times."""
+    return 1 if os.environ.get("BENCH_WARM_ONLY", "0") == "1" else default
 
 
 def _bench_conditioning(mc, b, h, w, dtype):
@@ -89,195 +141,188 @@ def _bench_conditioning(mc, b, h, w, dtype):
         return txt, img_ctx, moments
 
     return time_once(cond_stage, tparams, vparams, rparams, eparams,
-                     tokens, img, repeats=2)
+                     tokens, img, repeats=_repeats(2))
 
 
-def _bench_resolution(mc, b, h, w, steps, dtype, sequential_cfg,
-                      with_conditioning, cfg_both=False,
-                      perframe_decode=True):
-    import jax.numpy as jnp
+class ResolutionBench:
+    """One resolution's model/conditioning/sampler state, measurable piece
+    by piece so main() can emit a JSON milestone between pieces."""
 
-    from dynamicrafter_tpu.models.unet3d import UNetConfig, UNetModel
-    from dynamicrafter_tpu.models.vae import Decoder, VAEConfig
-    from dynamicrafter_tpu.sampling.ddim import (
-        CFGConditioning, SamplerSettings, ddim_sample, make_cfg_denoiser,
-    )
-    from dynamicrafter_tpu import schedule as sched_lib
-    from dynamicrafter_tpu.utils.timing import time_once
+    def __init__(self, mc, b, h, w, steps, dtype, sequential_cfg):
+        import jax
+        import jax.numpy as jnp
 
-    unet_cfg = UNetConfig.from_dict(mc.unet)
-    vae_cfg = VAEConfig.from_dict(mc.vae)
-    t_len = unet_cfg.temporal_length
-    unet = UNetModel(unet_cfg, dtype=dtype)
-    n_img_tok = (mc.resampler or {}).get("num_queries", 16)
+        from dynamicrafter_tpu.models.unet3d import UNetConfig, UNetModel
+        from dynamicrafter_tpu.models.vae import Decoder, VAEConfig
+        from dynamicrafter_tpu.sampling.ddim import (
+            CFGConditioning, SamplerSettings,
+        )
+        from dynamicrafter_tpu import schedule as sched_lib
 
-    import jax
+        self.mc, self.b, self.h, self.w = mc, b, h, w
+        self.steps, self.dtype = steps, dtype
+        self.unet_cfg = UNetConfig.from_dict(mc.unet)
+        self.vae_cfg = VAEConfig.from_dict(mc.vae)
+        self.t_len = self.unet_cfg.temporal_length
+        self.unet = UNetModel(self.unet_cfg, dtype=dtype)
+        n_img_tok = (mc.resampler or {}).get("num_queries", 16)
+        self.n_img_tok = n_img_tok
 
-    # Conditioning is RANDOM and passed as RUNTIME args to the scan (not
-    # captured constants): zeros-valued closures are one constant-folding
-    # compiler upgrade away from silently benchmarking a hollow model.
-    keys = jax.random.split(jax.random.PRNGKey(7), 4)
-    zc = vae_cfg.z_channels
-    x = jax.random.normal(keys[0], (b, t_len, h, w, zc), dtype)
-    ctx_dim = unet_cfg.context_dim
-    cond = CFGConditioning(
-        context_text=jax.random.normal(
-            keys[1], (2, b, 77, ctx_dim), dtype) * 0.1,
-        context_img=jax.random.normal(
-            keys[2], (2, b, t_len, n_img_tok, ctx_dim), dtype) * 0.1,
-        concat=jax.random.normal(
-            keys[3], (2, b, t_len, h, w, zc), dtype),
-        fs=jnp.full((b,), 24, jnp.int32),
-    )
-    xfull = jnp.zeros((2 * b, t_len, h, w, 2 * zc), dtype)
-    uparams = _random_params(
-        unet, xfull, jnp.zeros((2 * b,), jnp.int32),
-        context_text=jnp.zeros((2 * b, 77, ctx_dim), dtype),
-        context_img=jnp.zeros((2 * b, t_len, n_img_tok, ctx_dim), dtype),
-        fs=jnp.zeros((2 * b,), jnp.int32))
+        # Conditioning is RANDOM and passed as RUNTIME args to the scan (not
+        # captured constants): zeros-valued closures are one constant-folding
+        # compiler upgrade away from silently benchmarking a hollow model.
+        keys = jax.random.split(jax.random.PRNGKey(7), 4)
+        zc = self.vae_cfg.z_channels
+        self.zc = zc
+        t_len = self.t_len
+        ctx_dim = self.unet_cfg.context_dim
+        self.ctx_dim = ctx_dim
+        self.x = jax.random.normal(keys[0], (b, t_len, h, w, zc), dtype)
+        self.cond = CFGConditioning(
+            context_text=jax.random.normal(
+                keys[1], (2, b, 77, ctx_dim), dtype) * 0.1,
+            context_img=jax.random.normal(
+                keys[2], (2, b, t_len, n_img_tok, ctx_dim), dtype) * 0.1,
+            concat=jax.random.normal(
+                keys[3], (2, b, t_len, h, w, zc), dtype),
+            fs=jnp.full((b,), 24, jnp.int32),
+        )
+        xfull = jnp.zeros((2 * b, t_len, h, w, 2 * zc), dtype)
+        self.uparams = _random_params(
+            self.unet, xfull, jnp.zeros((2 * b,), jnp.int32),
+            context_text=jnp.zeros((2 * b, 77, ctx_dim), dtype),
+            context_img=jnp.zeros((2 * b, t_len, n_img_tok, ctx_dim), dtype),
+            fs=jnp.zeros((2 * b,), jnp.int32))
 
-    schedule = sched_lib.build_schedule(
-        timesteps=mc.timesteps, linear_start=mc.linear_start,
-        linear_end=mc.linear_end, parameterization=mc.parameterization,
-        rescale_betas_zero_snr=mc.rescale_betas_zero_snr,
-        use_dynamic_rescale=mc.use_dynamic_rescale, base_scale=mc.base_scale)
-    table = sched_lib.build_ddim_table(
-        schedule, num_steps=steps, discretize="uniform_trailing", eta=0.0)
-    settings = SamplerSettings(
-        steps=steps, discretize="uniform_trailing", eta=0.0, cfg_scale=7.5,
-        guidance_rescale=0.7, parameterization=mc.parameterization,
-        sequential_cfg=sequential_cfg)
+        self.schedule = sched_lib.build_schedule(
+            timesteps=mc.timesteps, linear_start=mc.linear_start,
+            linear_end=mc.linear_end, parameterization=mc.parameterization,
+            rescale_betas_zero_snr=mc.rescale_betas_zero_snr,
+            use_dynamic_rescale=mc.use_dynamic_rescale,
+            base_scale=mc.base_scale)
+        self._sched_lib = sched_lib
+        self.settings = SamplerSettings(
+            steps=steps, discretize="uniform_trailing", eta=0.0,
+            cfg_scale=7.5, guidance_rescale=0.7,
+            parameterization=mc.parameterization,
+            sequential_cfg=sequential_cfg)
+        self._decoder = Decoder(self.vae_cfg, dtype=dtype)
+        self._dparams = None
 
-    def unet_apply(p, xin, tsin, context_text, context_img, fs, **kw):
-        return unet.apply({"params": p}, xin, tsin, context_text=context_text,
-                          context_img=context_img, fs=fs, **kw)
+    def unet_apply(self, p, xin, tsin, context_text, context_img, fs, **kw):
+        return self.unet.apply(
+            {"params": p}, xin, tsin, context_text=context_text,
+            context_img=context_img, fs=fs, **kw)
 
-    # Weights are passed as runtime args (the serving reality: weights live
-    # in HBM, one executable serves any checkpoint). Baking them as
-    # compile-time constants measured ~9% faster steps in round 1, but with
-    # RANDOM weights XLA must lower 2.9 GB of literal data — compile blows
-    # up from ~1 min to >30 min — so baking is opt-in (BENCH_BAKE=1).
-    bake = os.environ.get("BENCH_BAKE", "0") == "1"
-    if bake:
-        def full_scan(c, x0):
-            model_fn = make_cfg_denoiser(unet_apply, uparams, c, settings)
-            return ddim_sample(model_fn, x0.astype(jnp.float32), schedule,
-                               table, settings).astype(dtype)
+    def measure_scan(self, settings=None, bake=False, repeats=2) -> float:
+        """Seconds for the full jitted sampler scan (DDIM or DPM per
+        settings.sampler), batched or sequential CFG per settings."""
+        import jax.numpy as jnp
 
-        scan_seconds = time_once(full_scan, cond, x, repeats=2)
-    else:
+        from dynamicrafter_tpu.sampling.ddim import (
+            ddim_sample, make_cfg_denoiser,
+        )
+        from dynamicrafter_tpu.sampling.dpm import dpm_sample
+        from dynamicrafter_tpu.utils.timing import time_once
+
+        settings = settings or self.settings
+        table = self._sched_lib.build_ddim_table(
+            self.schedule, num_steps=settings.steps,
+            discretize=settings.discretize, eta=settings.eta)
+        sample_fn = dpm_sample if settings.sampler == "dpm" else ddim_sample
+        dtype = self.dtype
+
+        # Weights are passed as runtime args (the serving reality: weights
+        # live in HBM, one executable serves any checkpoint). Baking them as
+        # compile-time constants measured ~9% faster steps in round 1, but
+        # with RANDOM weights XLA must lower 2.9 GB of literal data —
+        # compile blows up from ~1 min to >30 min — so baking is opt-in
+        # (BENCH_BAKE=1).
+        if bake:
+            uparams = self.uparams
+
+            def full_scan(c, x0):
+                model_fn = make_cfg_denoiser(
+                    self.unet_apply, uparams, c, settings)
+                return sample_fn(model_fn, x0.astype(jnp.float32),
+                                 self.schedule, table, settings).astype(dtype)
+
+            return time_once(full_scan, self.cond, self.x,
+                             repeats=_repeats(repeats))
+
         def full_scan(params, c, x0):
-            model_fn = make_cfg_denoiser(unet_apply, params, c, settings)
-            return ddim_sample(model_fn, x0.astype(jnp.float32), schedule,
-                               table, settings).astype(dtype)
+            model_fn = make_cfg_denoiser(self.unet_apply, params, c, settings)
+            return sample_fn(model_fn, x0.astype(jnp.float32),
+                             self.schedule, table, settings).astype(dtype)
 
-        scan_seconds = time_once(full_scan, uparams, cond, x, repeats=2)
+        return time_once(full_scan, self.uparams, self.cond, self.x,
+                         repeats=_repeats(repeats))
 
-    alt_scan_seconds = None
-    if cfg_both and not bake:
-        import dataclasses as _dc
+    def measure_decode(self, perframe=True) -> float:
+        """Seconds to decode all t_len frames of ONE clip."""
+        import jax.numpy as jnp
 
-        alt = _dc.replace(settings, sequential_cfg=not sequential_cfg)
+        from dynamicrafter_tpu.utils.timing import time_once
 
-        def alt_scan(params, c, x0):
-            model_fn = make_cfg_denoiser(unet_apply, params, c, alt)
-            return ddim_sample(model_fn, x0.astype(jnp.float32), schedule,
-                               table, alt).astype(dtype)
+        if self._dparams is None:
+            self._dparams = _random_params(
+                self._decoder, jnp.zeros((1, self.h, self.w, self.zc),
+                                         self.dtype))
 
-        alt_scan_seconds = time_once(alt_scan, uparams, cond, x, repeats=2)
-        if alt_scan_seconds < scan_seconds:
-            scan_seconds, alt_scan_seconds = alt_scan_seconds, scan_seconds
-            sequential_cfg = not sequential_cfg
+        def decode_1f(params, z):
+            return self._decoder.apply({"params": params}, z)
 
-    decoder = Decoder(vae_cfg, dtype=dtype)
-    dparams = _random_params(decoder, jnp.zeros((1, h, w, zc), dtype))
-
-    def decode_1f(params, z):
-        return decoder.apply({"params": params}, z)
-
-    if perframe_decode:
-        # per-frame decode (perframe_ae, reference ddpm3d.py:654-663); one
-        # frame timed, multiplied by T (frames are independent)
-        decode_seconds = t_len * time_once(
-            decode_1f, dparams, jnp.zeros((1, h, w, zc), dtype), repeats=2)
-    else:
+        if perframe:
+            # per-frame decode (perframe_ae, reference ddpm3d.py:654-663);
+            # one frame timed, multiplied by T (frames are independent)
+            return self.t_len * time_once(
+                decode_1f, self._dparams,
+                jnp.zeros((1, self.h, self.w, self.zc), self.dtype),
+                repeats=_repeats(2))
         # batched decode of all T frames in one call (the reference's
         # perframe_ae=False mode, used for its 256x256 baseline)
-        decode_seconds = time_once(
-            decode_1f, dparams, jnp.zeros((t_len, h, w, zc), dtype),
-            repeats=2)
+        return time_once(
+            decode_1f, self._dparams,
+            jnp.zeros((self.t_len, self.h, self.w, self.zc), self.dtype),
+            repeats=_repeats(2))
 
-    cond_seconds = (_bench_conditioning(mc, b, h, w, dtype)
-                    if with_conditioning else 0.0)
+    def measure_conditioning(self) -> float:
+        return _bench_conditioning(self.mc, self.b, self.h, self.w,
+                                   self.dtype)
 
-    # decode_seconds is per CLIP (16 frames); conditioning and the scan are
-    # one batched call covering all b clips. Per-clip e2e = total / b.
-    total_seconds = cond_seconds + scan_seconds + b * decode_seconds
-    out = {
-        "batch": b,
-        "cond_stage_s": round(cond_seconds, 3),
-        "ddim50_cfg_scan_s": round(scan_seconds, 3),
-        "unet_step_ms": round(scan_seconds / steps * 1000, 1),
-        "vae_decode_16f_s": round(decode_seconds, 3),
-        "e2e_clip_s": round(total_seconds / b, 2),
-        "weights_baked": bake,
-        "sequential_cfg": sequential_cfg,
-    }
-    if alt_scan_seconds is not None:
-        out["ddim50_cfg_scan_alt_s"] = round(alt_scan_seconds, 3)
+    def unet_flops_per_sampler_step(self) -> float | None:
+        """FLOPs of the 2 CFG passes of one sampler step, via the compiled
+        executable's cost analysis (`.lower().compile().cost_analysis()` —
+        client-side `lower().cost_analysis()` returns None under the axon
+        plugin). The compile is one extra graph through the remote
+        compiler; scripts/warm_cache.py pre-warms it, making driver runs a
+        seconds-cheap persistent-cache replay."""
+        import jax
+        import jax.numpy as jnp
 
-    # DeepCache accelerated sampling: reported as separate detail keys,
-    # never as the headline (it is an approximation — different outputs
-    # from the exact sampler, so not the parity workload). Default N=5 is
-    # the CERTIFIED serving interval: >=90 dB latent / >=68 dB pixel PSNR
-    # vs exact at full-size 256/512, both CFG modes (PARITY_RESULTS.md
-    # "DeepCache quality"; scripts/deepcache_certify.py). BENCH_DEEPCACHE=0
-    # disables, =N overrides.
-    dc = int(os.environ.get("BENCH_DEEPCACHE", "5"))
-    if dc > 1 and steps % dc != 0:
-        dc = 0  # CPU-fallback tiny step counts: skip rather than crash
-    if dc > 1 and not bake:
-        import dataclasses as _dc2
-
-        dc_settings = _dc2.replace(settings, deepcache=dc)
-
-        def dc_scan(params, c, x0):
-            model_fn = make_cfg_denoiser(unet_apply, params, c, dc_settings)
-            return ddim_sample(model_fn, x0.astype(jnp.float32), schedule,
-                               table, dc_settings).astype(dtype)
-
-        dc_scan_seconds = time_once(dc_scan, uparams, cond, x, repeats=2)
-        out[f"ddim50_deepcache{dc}_scan_s"] = round(dc_scan_seconds, 3)
-        out[f"e2e_clip_s_deepcache{dc}"] = round(
-            (cond_seconds + dc_scan_seconds + b * decode_seconds) / b, 2)
-
-    # DPM-Solver++(2M) fast mode: exact-model sampling at a lower step
-    # count (DDIM-50-class discretization error at ~30 steps, tests/
-    # test_dpm.py). Detail rows only, never the headline (different step
-    # count from the reference's DDIM-50 workload). BENCH_DPM=0 disables,
-    # =N overrides the step count.
-    dpm_steps = int(os.environ.get("BENCH_DPM", "30"))
-    if dpm_steps > 1 and not bake:
-        import dataclasses as _dc3
-
-        from dynamicrafter_tpu.sampling.dpm import dpm_sample
-
-        dpm_settings = _dc3.replace(settings, steps=dpm_steps, eta=0.0,
-                                    sampler="dpm")
-        dpm_table = sched_lib.build_ddim_table(
-            schedule, num_steps=dpm_steps, discretize="uniform_trailing",
-            eta=0.0)
-
-        def dpm_scan(params, c, x0):
-            model_fn = make_cfg_denoiser(unet_apply, params, c, dpm_settings)
-            return dpm_sample(model_fn, x0.astype(jnp.float32), schedule,
-                              dpm_table, dpm_settings).astype(dtype)
-
-        dpm_scan_seconds = time_once(dpm_scan, uparams, cond, x, repeats=2)
-        out[f"dpm{dpm_steps}_cfg_scan_s"] = round(dpm_scan_seconds, 3)
-        out[f"e2e_clip_s_dpm{dpm_steps}"] = round(
-            (cond_seconds + dpm_scan_seconds + b * decode_seconds) / b, 2)
-    return out
+        b, t_len, h, w = self.b, self.t_len, self.h, self.w
+        if self.settings.sequential_cfg:
+            n_calls, bb = 2, b          # 2 UNet calls at batch b per step
+        else:
+            n_calls, bb = 1, 2 * b      # 1 call at batch 2b per step
+        args = (
+            self.uparams,
+            jnp.zeros((bb, t_len, h, w, 2 * self.zc), self.dtype),
+            jnp.zeros((bb,), jnp.int32),
+            jnp.zeros((bb, 77, self.ctx_dim), self.dtype),
+            jnp.zeros((bb, t_len, self.n_img_tok, self.ctx_dim), self.dtype),
+            jnp.zeros((bb,), jnp.int32),
+        )
+        try:
+            compiled = jax.jit(self.unet_apply).lower(*args).compile()
+            ca = compiled.cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            flops = float((ca or {}).get("flops", 0.0))
+        except Exception as e:  # cost analysis is best-effort telemetry
+            print(f"# flops estimate unavailable: {e}", file=sys.stderr)
+            return None
+        return n_calls * flops if flops > 0 else None
 
 
 def main():
@@ -297,79 +342,66 @@ def main():
 
     from dynamicrafter_tpu.config import ModelConfig
 
+    t_start = time.time()
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "2700"))
+    if os.environ.get("BENCH_WARM_ONLY", "0") == "1":
+        budget_s = float("inf")
+
     on_tpu = jax.default_backend() == "tpu"
     import jax.numpy as jnp
     dtype = jnp.bfloat16
     here = os.path.dirname(os.path.abspath(__file__))
 
-    if on_tpu:
-        mc512 = ModelConfig.from_yaml(
-            os.path.join(here, "configs", "inference_512_v1.0.yaml"))
-        d512 = _bench_resolution(mc512, 1, 40, 64, STEPS, dtype,
-                                 sequential_cfg=False, with_conditioning=True)
-        detail = dict(d512)
-        if os.environ.get("BENCH_SKIP_1024", "0") != "1":
-            mc1024 = ModelConfig.from_yaml(
-                os.path.join(here, "configs", "inference_1024_v1.0.yaml"))
-            d1024 = _bench_resolution(mc1024, 1, 72, 128, STEPS, dtype,
-                                      sequential_cfg=True,
-                                      with_conditioning=True, cfg_both=True)
-            detail["clip_1024_s"] = d1024["e2e_clip_s"]
-            detail["cond_stage_1024_s"] = d1024["cond_stage_s"]
-            detail["unet_step_1024_ms"] = d1024["unet_step_ms"]
-            detail["sequential_cfg_1024"] = d1024["sequential_cfg"]
-            if "ddim50_cfg_scan_alt_s" in d1024:
-                detail["ddim50_cfg_scan_1024_alt_s"] = \
-                    d1024["ddim50_cfg_scan_alt_s"]
-            detail["vae_decode_1024_16f_s"] = d1024["vae_decode_16f_s"]
-            for k, v in d1024.items():
-                if "deepcache" in k or "dpm" in k:
-                    detail[f"{k}_1024"] = v
-            # A100 reference: 75 s/clip at 576x1024 (README.md:292-294)
-            detail["vs_baseline_1024"] = round(75.0 / detail["clip_1024_s"], 3)
-        if os.environ.get("BENCH_256", "0") == "1":
-            # opt-in (keeps the driver's default bench run short): the
-            # reference's third headline row — 256x256, DDIM-50,
-            # perframe_ae=False i.e. batched decode, 10 s/clip on A100
-            # (README.md:296)
-            mc256 = ModelConfig.from_yaml(
-                os.path.join(here, "configs", "inference_256_v1.0.yaml"))
-            d256 = _bench_resolution(mc256, 1, 32, 32, STEPS, dtype,
-                                     sequential_cfg=False,
-                                     with_conditioning=True,
-                                     perframe_decode=False)
-            detail["clip_256_s"] = d256["e2e_clip_s"]
-            detail["unet_step_256_ms"] = d256["unet_step_ms"]
-            detail["vs_baseline_256"] = round(10.0 / d256["e2e_clip_s"], 3)
-        bb = int(os.environ.get("BENCH_BATCH", "0"))
-        if bb > 1:
-            # opt-in: throughput-optimized serving at 320x512 — b clips per
-            # batched-CFG scan (UNet batch 2b) amortizes the per-step weight
-            # reads; per-clip e2e = total / b (see _bench_resolution)
-            dbb = _bench_resolution(mc512, bb, 40, 64, STEPS, dtype,
-                                    sequential_cfg=False,
-                                    with_conditioning=True)
-            detail[f"clip_512_s_b{bb}"] = dbb["e2e_clip_s"]
-            detail[f"clips_per_min_b{bb}"] = round(60.0 / dbb["e2e_clip_s"],
-                                                   3)
-        metric = "clips_per_min_per_chip_320x512"
-    else:
+    detail: dict = {"backend": jax.default_backend()}
+    skipped: list = []
+    state = {"metric": None, "value": None, "unit": "clips/min/chip",
+             "vs_baseline": None}
+
+    def emit():
+        # one full-result line per milestone; the driver takes the LAST
+        # JSON line on stdout, so a timeout mid-run still leaves the
+        # richest-so-far result (round-4 rc=124 lesson)
+        d = dict(detail)
+        if skipped:
+            d["skipped"] = list(skipped)
+        d["bench_wall_s"] = round(time.time() - t_start, 1)
+        print(json.dumps({
+            "metric": state["metric"], "value": state["value"],
+            "unit": state["unit"], "vs_baseline": state["vs_baseline"],
+            "detail": d,
+        }), flush=True)
+
+    def over_budget(est_s: float, row: str) -> bool:
+        remaining = budget_s - (time.time() - t_start)
+        if est_s > remaining:
+            skipped.append(f"{row} (est {est_s:.0f}s > {remaining:.0f}s "
+                           "left of BENCH_BUDGET_S)")
+            print(f"# skipping {row}: est {est_s:.0f}s exceeds remaining "
+                  f"budget {remaining:.0f}s", file=sys.stderr)
+            return True
+        return False
+
+    if not on_tpu:
         from dynamicrafter_tpu.testing import TINY_MODEL_CONFIG
 
         mc = ModelConfig(TINY_MODEL_CONFIG)
-        detail = _bench_resolution(mc, 1, 8, 8, 4, dtype,
-                                   sequential_cfg=False,
-                                   with_conditioning=False)
-        metric = "clips_per_min_per_chip_320x512_CPU_FALLBACK"
+        rb = ResolutionBench(mc, 1, 8, 8, 4, dtype, sequential_cfg=False)
+        scan_s = rb.measure_scan()
+        decode_s = rb.measure_decode()
+        detail.update({
+            "batch": 1, "ddim_cfg_scan_s": round(scan_s, 3),
+            "vae_decode_s": round(decode_s, 3),
+            "e2e_clip_s": round(scan_s + decode_s, 2),
+        })
+        state["metric"] = "clips_per_min_per_chip_320x512_CPU_FALLBACK"
+        state["value"] = round(60.0 / (scan_s + decode_s), 3)
+        state["vs_baseline"] = round(state["value"] / 3.0, 3)
+        emit()
+        return
 
-    clip_seconds = detail["e2e_clip_s"]
-    clips_per_min = 60.0 / clip_seconds
-    baseline = 3.0  # A100 reference: 20 s/clip @ 320x512
-    detail["backend"] = jax.default_backend()
-
-    # Fidelity-gate visibility: the PSNR>40 check needs released weights; if
-    # they are mounted we say where, else ONE actionable line on stderr
-    # (stdout stays a single JSON line for the driver).
+    # Fidelity-gate visibility first (cheap): the PSNR>40 check needs
+    # released weights; if they are mounted we say where, else ONE
+    # actionable line on stderr.
     from dynamicrafter_tpu.utils.discovery import discover
 
     found, blocked = discover("512")
@@ -377,13 +409,191 @@ def main():
     if blocked:
         print(blocked, file=sys.stderr)
 
-    print(json.dumps({
-        "metric": metric,
-        "value": round(clips_per_min, 3),
-        "unit": "clips/min/chip",
-        "vs_baseline": round(clips_per_min / baseline, 3),
-        "detail": detail,
-    }))
+    peak = _peak_flops(jax.devices()[0])
+    detail["device_kind"] = jax.devices()[0].device_kind
+
+    # ---- 320x512 exact (the headline) -----------------------------------
+    mc512 = ModelConfig.from_yaml(
+        os.path.join(here, "configs", "inference_512_v1.0.yaml"))
+    rb512 = ResolutionBench(mc512, 1, 40, 64, STEPS, dtype,
+                            sequential_cfg=False)
+    t_blk = time.time()
+    scan512_s = rb512.measure_scan()
+    # wall minus the 3 executions (compile call + 2 timed) ~= this
+    # process's compile cost for a full-size scan graph; ~0 on cache hit.
+    # Scales the optional-row estimates below so a cold run sheds work.
+    compile512_s = max(0.0, time.time() - t_blk - 3 * scan512_s)
+    decode512_s = rb512.measure_decode()
+    cond512_s = rb512.measure_conditioning()
+    e2e512_s = cond512_s + scan512_s + decode512_s
+    detail.update({
+        "batch": 1,
+        "cond_stage_s": round(cond512_s, 3),
+        "ddim50_cfg_scan_s": round(scan512_s, 3),
+        "unet_step_ms": round(scan512_s / STEPS * 1000, 1),
+        "vae_decode_16f_s": round(decode512_s, 3),
+        "e2e_clip_s": round(e2e512_s, 2),
+        "weights_baked": False,
+        "sequential_cfg": False,
+    })
+    state["metric"] = "clips_per_min_per_chip_320x512"
+    state["value"] = round(60.0 / e2e512_s, 3)
+    state["vs_baseline"] = round(state["value"] / 3.0, 3)  # A100: 20 s/clip
+    emit()  # headline on stdout before anything slow can time out
+
+    # ---- 576x1024 exact --------------------------------------------------
+    if os.environ.get("BENCH_SKIP_1024", "0") != "1":
+        mc1024 = ModelConfig.from_yaml(
+            os.path.join(here, "configs", "inference_1024_v1.0.yaml"))
+        rb1024 = ResolutionBench(mc1024, 1, 72, 128, STEPS, dtype,
+                                 sequential_cfg=True)
+        t_blk = time.time()
+        scan1024_s = rb1024.measure_scan(repeats=1)
+        compile1024_s = max(0.0, time.time() - t_blk - 2 * scan1024_s)
+        decode1024_s = rb1024.measure_decode()
+        cond1024_s = rb1024.measure_conditioning()
+        e2e1024_s = cond1024_s + scan1024_s + decode1024_s
+        detail.update({
+            "clip_1024_s": round(e2e1024_s, 2),
+            "cond_stage_1024_s": round(cond1024_s, 3),
+            "unet_step_1024_ms": round(scan1024_s / STEPS * 1000, 1),
+            "sequential_cfg_1024": True,
+            "vae_decode_1024_16f_s": round(decode1024_s, 3),
+            # A100 reference: 75 s/clip at 576x1024 (README.md:292-294)
+            "vs_baseline_1024": round(75.0 / e2e1024_s, 3),
+        })
+        emit()
+
+    # ---- MFU rows (after the required exact rows: each is one extra
+    # UNet-call graph — a seconds-cheap cache replay when warmed, a
+    # multi-minute remote compile when cold, hence budget-gated) ----------
+    # single-call graph is strictly smaller than its scan graph, so its
+    # cold-compile cost is bounded by the measured scan compile cost
+    if peak and not over_budget(30 + 0.8 * compile512_s, "unet_mfu_512"):
+        flops512 = rb512.unet_flops_per_sampler_step()
+        if flops512:
+            detail["unet_flops_per_step_512"] = flops512
+            detail["unet_mfu_512"] = round(
+                flops512 / (scan512_s / STEPS) / peak, 4)
+            emit()
+    if peak and os.environ.get("BENCH_SKIP_1024", "0") != "1" \
+            and not over_budget(60 + 0.8 * compile1024_s, "unet_mfu_1024"):
+        flops1024 = rb1024.unet_flops_per_sampler_step()
+        if flops1024:
+            detail["unet_flops_per_step_1024"] = flops1024
+            detail["unet_mfu_1024"] = round(
+                flops1024 / (scan1024_s / STEPS) / peak, 4)
+            emit()
+
+    # ---- optional rows, budget-gated -------------------------------------
+    import dataclasses
+
+    # DeepCache accelerated sampling at 512: separate detail keys, never
+    # the headline (approximation — different outputs from the exact
+    # sampler). Default N=5 is the CERTIFIED serving interval: >=90 dB
+    # latent / >=68 dB pixel PSNR vs exact at full-size 256/512, both CFG
+    # modes, RANDOM-weight architecture proxy (PARITY_RESULTS.md "DeepCache
+    # quality"; scripts/deepcache_certify.py). BENCH_DEEPCACHE=0 disables,
+    # =N overrides.
+    dc = int(os.environ.get("BENCH_DEEPCACHE", "5"))
+    if dc > 1 and STEPS % dc == 0 \
+            and not over_budget(2.2 * 0.7 * scan512_s + compile512_s,
+                                "deepcache_512"):
+        dc_settings = dataclasses.replace(rb512.settings, deepcache=dc)
+        dc_s = rb512.measure_scan(settings=dc_settings)
+        detail[f"ddim50_deepcache{dc}_scan_s"] = round(dc_s, 3)
+        detail[f"e2e_clip_s_deepcache{dc}"] = round(
+            cond512_s + dc_s + decode512_s, 2)
+        emit()
+
+    # DPM-Solver++(2M) fast mode at 512: exact-model sampling at a lower
+    # step count (DDIM-50-class discretization error at ~30 steps,
+    # tests/test_dpm.py + scripts/dpm_certify.py). Detail rows only.
+    # BENCH_DPM=0 disables, =N overrides the step count.
+    dpm_steps = int(os.environ.get("BENCH_DPM", "30"))
+    if dpm_steps > 1 and not over_budget(
+            2.2 * (dpm_steps / STEPS) * scan512_s + compile512_s,
+            "dpm_512"):
+        dpm_settings = dataclasses.replace(
+            rb512.settings, steps=dpm_steps, eta=0.0, sampler="dpm")
+        dpm_s = rb512.measure_scan(settings=dpm_settings)
+        detail[f"dpm{dpm_steps}_cfg_scan_s"] = round(dpm_s, 3)
+        detail[f"e2e_clip_s_dpm{dpm_steps}"] = round(
+            cond512_s + dpm_s + decode512_s, 2)
+        emit()
+
+    # 1024 extras are opt-in: round 4 made them default and the combined
+    # device time alone (~4.5 min on top of ~7) blew the driver's timeout.
+    if os.environ.get("BENCH_1024_EXTRAS", "0") == "1" \
+            and os.environ.get("BENCH_SKIP_1024", "0") != "1":
+        alt = dataclasses.replace(rb1024.settings, sequential_cfg=False)
+        if not over_budget(2.2 * scan1024_s + compile1024_s, "altcfg_1024"):
+            alt_s = rb1024.measure_scan(settings=alt, repeats=1)
+            detail["ddim50_cfg_scan_1024_alt_s"] = round(alt_s, 3)
+            detail["sequential_cfg_1024"] = alt_s >= scan1024_s
+            emit()
+        if dc > 1 and STEPS % dc == 0 \
+                and not over_budget(2.2 * 0.7 * scan1024_s + compile1024_s,
+                                    "deepcache_1024"):
+            dcs = dataclasses.replace(rb1024.settings, deepcache=dc)
+            dc1024_s = rb1024.measure_scan(settings=dcs, repeats=1)
+            detail[f"ddim50_deepcache{dc}_scan_s_1024"] = round(dc1024_s, 3)
+            detail[f"e2e_clip_s_deepcache{dc}_1024"] = round(
+                cond1024_s + dc1024_s + decode1024_s, 2)
+            emit()
+        if dpm_steps > 1 and not over_budget(
+                2.2 * (dpm_steps / STEPS) * scan1024_s + compile1024_s,
+                "dpm_1024"):
+            dps = dataclasses.replace(
+                rb1024.settings, steps=dpm_steps, eta=0.0, sampler="dpm")
+            dpm1024_s = rb1024.measure_scan(settings=dps, repeats=1)
+            detail[f"dpm{dpm_steps}_cfg_scan_s_1024"] = round(dpm1024_s, 3)
+            detail[f"e2e_clip_s_dpm{dpm_steps}_1024"] = round(
+                cond1024_s + dpm1024_s + decode1024_s, 2)
+            emit()
+    elif os.environ.get("BENCH_SKIP_1024", "0") != "1":
+        skipped.append("1024 deepcache/dpm/alt-cfg rows (opt-in: "
+                       "BENCH_1024_EXTRAS=1)")
+
+    # opt-in: the reference's third headline row — 256x256, DDIM-50,
+    # perframe_ae=False i.e. batched decode, 10 s/clip on A100
+    # (README.md:296)
+    if os.environ.get("BENCH_256", "0") == "1":
+        mc256 = ModelConfig.from_yaml(
+            os.path.join(here, "configs", "inference_256_v1.0.yaml"))
+        rb256 = ResolutionBench(mc256, 1, 32, 32, STEPS, dtype,
+                                sequential_cfg=False)
+        s256 = rb256.measure_scan()
+        d256 = rb256.measure_decode(perframe=False)
+        c256 = rb256.measure_conditioning()
+        detail["clip_256_s"] = round(c256 + s256 + d256, 2)
+        detail["unet_step_256_ms"] = round(s256 / STEPS * 1000, 1)
+        detail["vs_baseline_256"] = round(10.0 / detail["clip_256_s"], 3)
+        emit()
+
+    # opt-in: throughput-optimized serving at 320x512 — b clips per
+    # batched-CFG scan (UNet batch 2b) amortizes the per-step weight reads;
+    # per-clip e2e = total / b
+    bb = int(os.environ.get("BENCH_BATCH", "0"))
+    if bb > 1:
+        rbb = ResolutionBench(mc512, bb, 40, 64, STEPS, dtype,
+                              sequential_cfg=False)
+        sb = rbb.measure_scan()
+        db = rbb.measure_decode()
+        cb = rbb.measure_conditioning()
+        per_clip = (cb + sb + bb * db) / bb
+        detail[f"clip_512_s_b{bb}"] = round(per_clip, 2)
+        detail[f"clips_per_min_b{bb}"] = round(60.0 / per_clip, 3)
+        emit()
+
+    # opt-in: weights baked as compile-time constants (~9% faster steps,
+    # 30+ min compile with random weights — docs/DESIGN.md "Weight baking")
+    if os.environ.get("BENCH_BAKE", "0") == "1":
+        baked_s = rb512.measure_scan(bake=True)
+        detail["ddim50_cfg_scan_baked_s"] = round(baked_s, 3)
+        emit()
+
+    emit()  # final line (also covers the all-rows-skipped case)
 
 
 if __name__ == "__main__":

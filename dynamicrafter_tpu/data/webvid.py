@@ -182,6 +182,45 @@ class SyntheticVideoDataset:
         }
 
 
+class IterableVideoDataset:
+    """Chainable iterable-dataset interface with per-worker id sharding
+    (reference lvdm/data/base.py:5-23 `Txt2ImgIterableBaseDataset` plus the
+    `worker_init_fn` split in main/utils_data.py:15-28).
+
+    Subclasses set `num_records`/`valid_ids` and implement `__iter__`
+    yielding sample dicts drawn from `self.sample_ids`. `DataLoader`
+    detects this interface and gives each decode worker a disjoint
+    `sample_ids` slice via `shard()` — equal floor-division splits with
+    the trailing remainder dropped, the reference's exact split
+    arithmetic (split_size = num_records // num_workers).
+    """
+
+    def __init__(self, num_records: int = 0, valid_ids=None, size=256):
+        self.num_records = int(num_records)
+        self.valid_ids = (list(range(self.num_records))
+                          if valid_ids is None else list(valid_ids))
+        self.sample_ids = self.valid_ids
+        self.size = size
+
+    def __len__(self) -> int:
+        return self.num_records
+
+    def __iter__(self):
+        raise NotImplementedError(
+            "subclasses yield sample dicts over self.sample_ids")
+
+    def shard(self, worker_id: int, num_workers: int) -> "IterableVideoDataset":
+        """A shallow copy restricted to this worker's sample_ids slice
+        (worker_init_fn semantics, main/utils_data.py:21-25)."""
+        import copy
+
+        split = self.num_records // num_workers
+        other = copy.copy(self)
+        other.sample_ids = self.valid_ids[worker_id * split:
+                                          (worker_id + 1) * split]
+        return other
+
+
 class DataLoader:
     """Shuffled, batched, multi-worker prefetched loader.
 
@@ -251,9 +290,54 @@ class DataLoader:
                 yield idxs[i0:i0 + self.batch_size]
             epoch += 1
 
+    def _iter_iterable(self) -> Iterator[Dict[str, np.ndarray]]:
+        """Iterable-dataset path: each worker owns a disjoint sample_ids
+        slice (IterableVideoDataset.shard); items are drawn round-robin
+        across workers, so the batch stream is deterministic for a given
+        (dataset order, num_workers) regardless of thread timing. A
+        partial batch at epoch end carries into the next epoch (the
+        map-style path instead drops per-epoch tails)."""
+        import copy
+        from concurrent.futures import ThreadPoolExecutor
+
+        _END = object()
+        base = self.dataset
+        if self.num_shards > 1:
+            # multi-host slice first (disjoint across hosts), workers split
+            # the host's slice below
+            base = copy.copy(base)
+            base.valid_ids = base.valid_ids[self.shard_id::self.num_shards]
+            base.num_records = len(base.valid_ids)
+            base.sample_ids = base.valid_ids
+        n = min(self.num_workers, max(1, base.num_records))
+        shards = [base.shard(w, n) for w in range(n)]
+        batch: list = []
+        epoch = 0
+        with ThreadPoolExecutor(max_workers=n) as pool:
+            while self.max_epochs is None or epoch < self.max_epochs:
+                its = [iter(s) for s in shards]
+                pending = [(it, pool.submit(next, it, _END)) for it in its]
+                while pending:
+                    nxt = []
+                    for it, f in pending:
+                        item = f.result()
+                        if item is _END:
+                            continue
+                        batch.append(item)
+                        nxt.append((it, pool.submit(next, it, _END)))
+                        if len(batch) == self.batch_size:
+                            yield self._collate(batch)
+                            batch = []
+                    pending = nxt
+                epoch += 1
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         from collections import deque
         from concurrent.futures import ThreadPoolExecutor
+
+        if isinstance(self.dataset, IterableVideoDataset):
+            yield from self._iter_iterable()
+            return
 
         with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
             pending: deque = deque()

@@ -96,18 +96,28 @@ class MetricLogger:
     @staticmethod
     def device_memory_stats() -> Dict[str, float]:
         """Peak/live device memory (the reference CUDACallback equivalent,
-        main/callbacks.py:104-133)."""
+        main/callbacks.py:104-133): `peak_hbm_gb` is the per-process device
+        peak; on backends whose memory_stats() is None (CPU) the host peak
+        RSS keeps the column populated so the metric surface is identical
+        everywhere."""
+        out: Dict[str, float] = {}
         try:
             import jax
             stats = jax.local_devices()[0].memory_stats() or {}
-            out = {}
             if "bytes_in_use" in stats:
                 out["mem_in_use_gb"] = stats["bytes_in_use"] / 1e9
             if "peak_bytes_in_use" in stats:
-                out["mem_peak_gb"] = stats["peak_bytes_in_use"] / 1e9
-            return out
+                out["peak_hbm_gb"] = stats["peak_bytes_in_use"] / 1e9
         except Exception:
-            return {}
+            pass
+        if "peak_hbm_gb" not in out:
+            try:
+                import resource
+                out["peak_hbm_gb"] = resource.getrusage(
+                    resource.RUSAGE_SELF).ru_maxrss / 1e6  # linux: KB
+            except Exception:
+                pass
+        return out
 
     def close(self):
         self._csv_file.close()

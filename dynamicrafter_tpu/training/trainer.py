@@ -45,6 +45,12 @@ class TrainConfig:
     loss_type: str = "l2"
     parameterization: str = "v"
     noise_strength: float = 0.0      # offset noise (ddpm3d.py:740-747)
+    l_simple_weight: float = 1.0     # ddpm3d.py:63,777
+    original_elbo_weight: float = 0.0  # weight on loss_vlb (ddpm3d.py:61,782)
+    learn_logvar: bool = False       # per-timestep trainable logvar table
+                                     # (ddpm3d.py:118-121, 459-460); the
+                                     # table lives in trainable["logvar"]
+    logvar_init: float = 0.0         # ddpm3d.py:69,119
     remat: bool = True               # rematerialize UNet blocks (grad ckpt)
     # "dots": flat whole-model remat keeping matmul outputs — fits (and
     # marginally wins) only at the 256 recipe; FAILS TO COMPILE at
@@ -54,6 +60,35 @@ class TrainConfig:
     # 576x1024 the flat policy needs 55.8 GB vs 16 GB HBM (measured).
     # scripts/train.py --remat_policy auto picks by resolution.
     remat_policy: str = "dots"
+
+
+def combine_diffusion_losses(loss_simple, t, cfg: TrainConfig, schedule,
+                             logvar=None):
+    """The reference loss surface after the model call (ddpm3d.py:763-783):
+    per-timestep logvar weighting (optionally a learned table),
+    l_simple_weight, and the original_elbo_weight * loss_vlb ELBO term.
+
+    loss_simple: (B,) per-sample mean l1/l2 losses. logvar: the
+    (num_timesteps,) table — trainable["logvar"] when cfg.learn_logvar,
+    else None -> the constant cfg.logvar_init is applied (the reference
+    applies the buffer either way; it is only a parameter when learned).
+    Oracle-parity-tested against lvdm.models.ddpm3d.LatentDiffusion.p_losses
+    at nonzero knob values (tests/test_trainer.py).
+    """
+    if logvar is not None:
+        logvar_t = logvar[t].astype(loss_simple.dtype)
+    else:
+        logvar_t = jnp.asarray(cfg.logvar_init, loss_simple.dtype)
+    loss_gamma = loss_simple / jnp.exp(logvar_t) + logvar_t
+    loss = cfg.l_simple_weight * loss_gamma.mean()
+    loss_vlb = (schedule.lvlb_weights[t] * loss_simple).mean()
+    loss = loss + cfg.original_elbo_weight * loss_vlb
+    metrics = {"loss": loss, "loss_simple": loss_simple.mean(),
+               "loss_vlb": loss_vlb}
+    if cfg.learn_logvar:
+        metrics["loss_gamma"] = loss_gamma.mean()
+        metrics["logvar"] = logvar.mean()
+    return loss, metrics
 
 
 class TrainState(flax.struct.PyTreeNode):
@@ -229,10 +264,13 @@ def make_train_step(pipe, cfg: TrainConfig, tx: optax.GradientTransformation):
             loss_simple = jnp.abs(pred - target).mean(axis=(1, 2, 3, 4))
         else:
             loss_simple = jnp.square(pred - target).mean(axis=(1, 2, 3, 4))
-        loss = loss_simple.mean()
-        loss_vlb = (schedule.lvlb_weights[t] * loss_simple).mean()
-        return loss, {"loss": loss, "loss_simple": loss,
-                      "loss_vlb": loss_vlb}
+        logvar = trainable.get("logvar") if cfg.learn_logvar else None
+        if cfg.learn_logvar and logvar is None:
+            raise ValueError("learn_logvar=True needs a trainable['logvar'] "
+                             "(num_timesteps,) table — scripts/train.py "
+                             "seeds it from logvar_init")
+        return combine_diffusion_losses(loss_simple, t, cfg, schedule,
+                                        logvar)
 
     def eval_step(state: TrainState, frozen, batch, rng):
         """Validation losses with and without EMA weights

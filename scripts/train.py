@@ -213,6 +213,11 @@ def main():
         noise_strength=model_cfg.params.get("noise_strength", 0.0),
         use_ema=model_cfg.params.get("use_ema", False),
         remat=model_cfg.unet.get("use_checkpoint", True),
+        l_simple_weight=model_cfg.params.get("l_simple_weight", 1.0),
+        original_elbo_weight=model_cfg.params.get("original_elbo_weight",
+                                                  0.0),
+        learn_logvar=model_cfg.params.get("learn_logvar", False),
+        logvar_init=model_cfg.params.get("logvar_init", 0.0),
     )
     log.info(f"batch prep: interp_mode={tcfg.interp_mode} "
              f"rand_cond_frame={tcfg.rand_cond_frame} "
@@ -221,6 +226,14 @@ def main():
     if model_cfg.params.get("image_proj_model_trainable", True) \
             and "resampler" in pipe.params:
         trainable["resampler"] = pipe.params["resampler"]
+    if tcfg.learn_logvar:
+        # per-timestep trainable logvar table (ddpm3d.py:118-121; added to
+        # the optimizer at ddpm3d.py:459-460). Rides the trainable pytree,
+        # so ZeRO sharding / checkpointing / EMA cover it automatically
+        # (the reference excludes it from EMA; the shadow copy here is
+        # inert — nothing reads logvar at sampling time).
+        trainable["logvar"] = jnp.full((model_cfg.timesteps,),
+                                       tcfg.logvar_init, jnp.float32)
     frozen = {k: v for k, v in pipe.params.items() if k not in trainable}
     if args.bf16:
         # frozen towers (VAE, CLIP) are inference-only: bf16 storage is safe
@@ -372,6 +385,9 @@ def main():
                 vals = {k: float(v) for k, v in m.items()}
                 vals["steps_per_s"] = args.log_every / (time.time() - t_last)
                 t_last = time.time()
+                # peak_hbm_gb etc. in the console line too (the reference
+                # CUDACallback prints peak memory, main/callbacks.py:104-133)
+                vals.update(metrics_log.device_memory_stats())
                 metrics_log.log(step, vals)
                 log.info(f"step {step}: " + " ".join(
                     f"{k}={v:.4g}" for k, v in vals.items()))

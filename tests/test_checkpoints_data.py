@@ -228,6 +228,11 @@ def test_train_cli_smoke(tmp_path):
         capture_output=True, text=True, env=env, timeout=1200, cwd=repo)
     assert res.returncode == 0, res.stderr[-3000:]
     assert os.path.exists(tmp_path / "logs" / "smoke" / "metrics.csv")
+    with open(tmp_path / "logs" / "smoke" / "metrics.csv") as f:
+        header = f.readline().strip().split(",")
+    # per-step device-memory telemetry (CUDACallback parity,
+    # main/callbacks.py:104-133) must land as a CSV column
+    assert "peak_hbm_gb" in header, header
     ckdir = tmp_path / "logs" / "smoke" / "checkpoints"
     assert any(os.scandir(ckdir)), "no checkpoint written"
 
@@ -426,3 +431,44 @@ def test_train_cli_interp_preset_smoke(tmp_path):
     assert "rand_cond_frame=False" in train_log
     csv = tmp_path / "logs" / "smokeinterp" / "metrics.csv"
     assert csv.exists() and "loss" in csv.read_text()
+
+
+def test_iterable_dataset_worker_sharding_and_order():
+    """IterableVideoDataset (reference lvdm/data/base.py:5-23) through the
+    loader: workers own disjoint floor-split sample_ids slices (reference
+    worker_init_fn, main/utils_data.py:21-25), items are drawn round-robin,
+    and the batch stream is deterministic."""
+    from dynamicrafter_tpu.data.webvid import IterableVideoDataset
+
+    class RangeIterable(IterableVideoDataset):
+        def __iter__(self):
+            for i in self.sample_ids:
+                yield {"video": np.full((2, 4, 4, 3), i, np.float32),
+                       "caption": f"c{i}", "frame_stride": np.int32(1)}
+
+    ds = RangeIterable(num_records=10)
+    # reference split arithmetic: 10 // 3 = 3 per worker, remainder dropped
+    assert ds.shard(0, 3).sample_ids == [0, 1, 2]
+    assert ds.shard(2, 3).sample_ids == [6, 7, 8]
+    assert ds.shard(0, 3).sample_ids != ds.sample_ids  # copy, not mutation
+
+    def run():
+        loader = DataLoader(ds, batch_size=2, num_workers=3, shuffle=False,
+                            max_epochs=1)
+        return [[int(b["video"][j, 0, 0, 0, 0]) for j in range(2)]
+                for b in loader]
+
+    batches = run()
+    # round-robin across worker slices [0,1,2] [3,4,5] [6,7,8]
+    assert batches == [[0, 3], [6, 1], [4, 7], [2, 5]]
+    assert run() == batches  # deterministic
+
+    # multi-host first (disjoint host slices), then workers split each
+    l0 = DataLoader(ds, batch_size=2, num_workers=2, shuffle=False,
+                    max_epochs=1, shard_id=0, num_shards=2)
+    l1 = DataLoader(ds, batch_size=2, num_workers=2, shuffle=False,
+                    max_epochs=1, shard_id=1, num_shards=2)
+    seen0 = {int(b["video"][j, 0, 0, 0, 0]) for b in l0 for j in range(2)}
+    seen1 = {int(b["video"][j, 0, 0, 0, 0]) for b in l1 for j in range(2)}
+    assert seen0.isdisjoint(seen1)
+    assert seen0 | seen1 <= set(range(10))
