@@ -164,9 +164,18 @@ def _kernel_tmajor(q_ref, k_ref, v_ref, o_ref, *, t: int, p: int, rb: int,
         o_ref[0, :, sl] = o.reshape(t, p, heads * d).astype(o_ref.dtype)
 
 
-def _small_t_fwd_tmajor(q, k, v, scale, interpret, rb: int = 16):
+def _small_t_fwd_tmajor(q, k, v, scale, interpret, rb: int = 2):
     """q, k, v: (B, T, G, H, D) — attention over T for each (B, G) column,
-    consumed directly in the spatial-major layout (no transposes)."""
+    consumed directly in the spatial-major layout (no transposes).
+
+    rb=2 default from the round-5 on-chip sweep (rb in {1,2,4,16} at every
+    hot 512/1024 shape): smaller blocks pipeline the per-(r, head) dot+
+    softmax chains better — e.g. 1024-ds1 (g=9216, 5h) 5.62 ms at rb=2 vs
+    6.39 at the old rb=16; best-or-within-noise at all other shapes.
+    Hoisting the strided (t,p,hd)->(pt,hd) merges into one per-block
+    transpose and an additive-bias mask were both measured NEUTRAL (the
+    merge shuffles were not the cost); position-major kernel + HBM
+    transposes measured strictly worse (8.2 vs 5.6 ms)."""
     b, t, g, h, d = q.shape
     p = max(1, 128 // t)
     while p * rb > max(g, p):
