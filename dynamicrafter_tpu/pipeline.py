@@ -46,6 +46,7 @@ from dynamicrafter_tpu.sampling.ddim import (
     make_cfg_denoiser,
 )
 from dynamicrafter_tpu.sampling.dpm import dpm_sample
+from dynamicrafter_tpu.sampling.unipc import unipc_sample
 from dynamicrafter_tpu.utils import weights as W
 from dynamicrafter_tpu.utils.tokenizer import default_tokenizer
 
@@ -446,24 +447,27 @@ class DynamiCrafterPipeline:
         key = (settings, log_every_t)
         if key in self._sampler_cache:
             return self._sampler_cache[key]
-        if settings.sampler not in ("ddim", "dpm"):
+        if settings.sampler not in ("ddim", "dpm", "unipc"):
             raise ValueError(f"unknown sampler {settings.sampler!r}; "
-                             "expected 'ddim' or 'dpm'")
-        if settings.sampler == "dpm" and log_every_t is not None:
+                             "expected 'ddim', 'dpm' or 'unipc'")
+        if settings.sampler != "ddim" and log_every_t is not None:
             raise ValueError("log_every_t intermediates are a DDIM-surface "
                              "feature (reference ddim.py:199-201); use "
                              "sampler='ddim'")
-        # DPM++(2M) is the deterministic ODE solver: its coefficients ignore
-        # the table's eta-sigmas, so build the table at eta=0 regardless.
+        # DPM++(2M)/UniPC are deterministic ODE solvers: their coefficients
+        # ignore the table's eta-sigmas, so build the table at eta=0 there.
         table = sched_lib.build_ddim_table(
             self.schedule, num_steps=settings.steps,
             discretize=settings.discretize,
-            eta=0.0 if settings.sampler == "dpm" else settings.eta)
+            eta=settings.eta if settings.sampler == "ddim" else 0.0)
 
         def _scan(model_fn, x_T, rng, mask, x0):
             if settings.sampler == "dpm":
                 return dpm_sample(model_fn, x_T, self.schedule, table,
                                   settings, rng=rng, mask=mask, x0=x0)
+            if settings.sampler == "unipc":
+                return unipc_sample(model_fn, x_T, self.schedule, table,
+                                    settings, rng=rng, mask=mask, x0=x0)
             return ddim_sample(model_fn, x_T, self.schedule, table,
                                settings, rng=rng, mask=mask, x0=x0,
                                log_every_t=log_every_t)
@@ -521,8 +525,9 @@ class DynamiCrafterPipeline:
         stack (n_logs+1, B, T, h, w, c) is returned alongside the latents.
         Requires n_samples == 1.
 
-        sampler: "ddim" (the reference surface) or "dpm" — DPM-Solver++(2M),
-        a deterministic second-order solver of the same ODE (sampling/dpm.py);
+        sampler: "ddim" (the reference surface), "dpm" — DPM-Solver++(2M),
+        a deterministic second-order solver of the same ODE (sampling/dpm.py)
+        — or "unipc" — UniPC-style predictor-corrector (sampling/unipc.py);
         eta/log_every_t/deepcache are DDIM-only.
         """
         assert self.params is not None, "load or init params first"
@@ -544,11 +549,11 @@ class DynamiCrafterPipeline:
                 loop_or_interp=loop_or_interp, fs=fs,
                 negative_prompt=negative_prompt,
             )
-            # eta is DDIM-only; normalize so dpm runs that differ only in
-            # the (ignored) eta share one cache entry / executable
+            # eta is DDIM-only; normalize so dpm/unipc runs that differ only
+            # in the (ignored) eta share one cache entry / executable
             settings = SamplerSettings(
                 steps=steps, discretize=timestep_spacing,
-                eta=0.0 if sampler == "dpm" else eta,
+                eta=eta if sampler == "ddim" else 0.0,
                 cfg_scale=cfg_scale, cfg_img=cfg_img,
                 guidance_rescale=guidance_rescale,
                 parameterization=self.config.parameterization,

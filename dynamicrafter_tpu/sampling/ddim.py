@@ -52,11 +52,17 @@ class SamplerSettings:
                                            # (DeepCache, Ma et al. CVPR'24;
                                            # opt-in approximation, no
                                            # reference counterpart)
-    sampler: str = "ddim"                  # "ddim" (reference surface) or
+    sampler: str = "ddim"                  # "ddim" (reference surface),
                                            # "dpm" = DPM-Solver++(2M)
                                            # (sampling/dpm.py; deterministic,
                                            # ~1.7x fewer steps at DDIM-50
-                                           # quality — beyond reference)
+                                           # quality — beyond reference), or
+                                           # "unipc" = UniPC-style 3rd-order
+                                           # predictor-corrector
+                                           # (sampling/unipc.py)
+    solver_order: int = 2                  # unipc only: 1..3 (2 = measured
+                                           # best under CFG guidance)
+    use_corrector: bool = True             # unipc only: apply UniC
 
 
 class CFGConditioning(NamedTuple):

@@ -1,0 +1,260 @@
+r"""UniPC-style predictor-corrector multistep sampling as one jitted lax.scan.
+
+Beyond-reference serving lever #3 (after DeepCache and DPM-Solver++(2M)):
+a unified predictor-corrector solver of the probability-flow ODE in the
+UniPC family (Zhao et al., 2023, arXiv:2302.04867) at order up to 3 with
+ONE model call per step — the corrector reuses the model evaluation the
+next step makes anyway. Measured (tests/test_unipc.py): on the analytic
+Gaussian oracle in the eps/uniform regime the third-order decay is clean
+(error 2.6-7.7x below DPM++(2M) at 40-160 steps); in the SHIPPED regime
+(v-parameterization + ZTSNR + trailing + CFG 7.5, tiny-UNet regression)
+the huge first lambda gap and the guidance nonlinearity flatten every
+solver toward its endpoint error, and UniPC's measured edge over DPM++(2M)
+is ~4-5% at <=20 steps with parity at 30-50 — order=2 with the corrector
+is the best guided-sampling setting (matching the UniPC paper's guided
+recommendation), hence the solver_order=2 default. Use it for the
+low-NFE (<=20 step) serving point; at 30+ steps dpm is equivalent. The
+reference surface keeps DDIM as the default sampler; this is opt-in via
+--sampler unipc.
+
+Derivation (self-contained; the exact-interpolant variant). With
+alpha_t = sqrt(abar), sigma_t = sqrt(1-abar), lambda = log(alpha/sigma),
+the data-prediction form of the exact ODE solution from lambda_i to
+lambda_{i+1} = lambda_i + h is
+
+    x_{i+1} = (sigma_{i+1}/sigma_i) x_i
+              + alpha_{i+1} e^{-h} \int_0^h e^tau x0hat(lambda_i + tau) dtau.
+
+(First-order check: x0hat constant = p gives
+alpha_{i+1}(1 - e^{-h}) p — exactly DDIM eta=0 / DPM++ order 1.)
+
+*Predictor (UniP).* Replace x0hat by the Lagrange interpolant through the
+q most recent model values p_{i-j} at node offsets delta_j =
+lambda_{i-j} - lambda_i (delta_0 = 0) and integrate EXACTLY:
+
+    x_{i+1} = (sigma_{i+1}/sigma_i) x_i + alpha_{i+1} sum_j W_j p_{i-j},
+    W_j = \int_0^h e^{tau-h} L_j(tau) dtau,
+
+with the polynomial-times-exponential integrals E_n =
+\int_0^h e^{tau-h} tau^n dtau evaluated host-side in float64 via the
+stable recurrence E_0 = 1 - e^{-h}, E_n = h^n - n E_{n-1}. This is the
+exponential Adams-Bashforth member of the UniPC B(h) family; UniPC's
+published B1/B2 variants approximate these same integrals (their Taylor
+tables agree with the exact W to the solver's order), so accuracy is
+equal-or-better at identical cost and the coefficients need no tables.
+
+*Corrector (UniC).* At the next step the model is evaluated at the
+predicted x_{i+1} giving p_{i+1}; before using x_{i+1} further, re-do the
+step with the interpolation node set extended by (h, p_{i+1}) — the
+exponential Adams-Moulton update. Only the difference from the predictor
+is applied, which depends solely on the p values:
+
+    x_{i+1} += alpha_{i+1} [ Wc_new p_{i+1} + sum_j (Wc_j - W_j) p_{i-j} ].
+
+One model call per step, order q+1 where the predictor alone is order q.
+
+Design notes (mirrors sampling/dpm.py exactly):
+  * every coefficient is precomputed HOST-SIDE in float64 from the concrete
+    DDIMTable (ZTSNR's lambda(999) = -inf is clipped once to ~-23 there);
+    the scan body is a handful of fused multiply-adds around the UNet call;
+  * order ramps up over the first steps (q_i = min(order, i+1)) and back
+    down at the end (q_i <= S - i, so the final step is first-order —
+    lower_order_final, as in sampling/dpm.py);
+  * dynamic rescale (use_dynamic_rescale configs) follows dpm.py's exact
+    treatment: the history interpolates the UNDERLYING x0 (model prediction
+    divided by scale_t), scale_next multiplies all integral weights, and
+    the current-node weight carries the exact one-step correction
+    e^{-h}(scale_next - e^{-h=0 term} ...) such that a constant x0
+    reproduces DDIM's exact map alpha_next(scale_next - e^{-h} scale_t).
+    The correction term cancels inside the corrector difference;
+  * eps-parameterization + zero-terminal-SNR is rejected at trace time for
+    the same x0-recovery-divides-by-zero reason as dpm.py;
+  * with order=1 and the corrector off this reduces exactly to the DDIM
+    eta=0 map (asserted bit-near in tests/test_unipc.py).
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dynamicrafter_tpu.schedule import DDIMTable, DiffusionSchedule
+from dynamicrafter_tpu.sampling.ddim import SamplerSettings
+from dynamicrafter_tpu.sampling.dpm import _lambda_from_alpha_bar
+
+
+def _exp_integrals(h: float, n_max: int) -> list:
+    """E_n = int_0^h e^(tau-h) tau^n dtau for n = 0..n_max (float64).
+
+    E_0 = 1 - e^{-h} via expm1; E_n = h^n - n E_{n-1}. The subtraction
+    loses ~n digits at small h (E_n ~ h^{n+1}/(n+1)); with n_max <= 3 and
+    float64 that is far below the fp32 coefficients shipped to the device.
+    """
+    e = [-np.expm1(-h)]
+    for n in range(1, n_max + 1):
+        e.append(h ** n - n * e[n - 1])
+    return e
+
+
+def _lagrange_exp_weights(deltas: np.ndarray, h: float) -> np.ndarray:
+    """W_j = int_0^h e^(tau-h) L_j(tau) dtau for the Lagrange basis L_j on
+    node offsets `deltas` (float64). Sum_j W_j == E_0 (basis sums to 1)."""
+    q = len(deltas)
+    ee = _exp_integrals(h, q - 1)
+    w = np.zeros(q)
+    for j in range(q):
+        coeffs = np.array([1.0])      # ascending powers of tau
+        denom = 1.0
+        for m in range(q):
+            if m == j:
+                continue
+            coeffs = np.convolve(coeffs, np.array([-deltas[m], 1.0]))
+            denom *= deltas[j] - deltas[m]
+        w[j] = sum(c * ee[n] for n, c in enumerate(coeffs)) / denom
+    return w
+
+
+def unipc_coeffs(table: DDIMTable, order: int, use_corrector: bool):
+    """Host-side fp64 per-step constants for the descending scan.
+
+    Returns dict of float32 scan-step-major arrays: pred_w (S, order) on
+    nodes [p_i, p_{i-1}, ...], corr_w (S, order+1) on nodes
+    [p_i (new), p_{i-1}, p_{i-2}, ...] correcting the PREVIOUS step's
+    output (row 0 is zeros), plus t / a_t / inv_scale / sig_ratio.
+    """
+    assert 1 <= order <= 3, "unipc supports solver orders 1..3"
+    s = table.num_steps
+    idx = np.arange(s - 1, -1, -1)
+    a_t = np.asarray(table.alphas, dtype=np.float64)[idx]
+    a_next = np.asarray(table.alphas_prev, dtype=np.float64)[idx]
+    lam_t = _lambda_from_alpha_bar(a_t)
+    lam_next = _lambda_from_alpha_bar(a_next)
+    h = lam_next - lam_t                  # > 0 (denoising moves up-SNR)
+    sig_ratio = np.sqrt(1.0 - a_next) / np.sqrt(1.0 - a_t)
+    alp_next = np.sqrt(a_next)
+    if table.scale_arr is not None:
+        scale_t = np.asarray(table.scale_arr, dtype=np.float64)[idx]
+        scale_next = np.asarray(table.scale_arr_prev, dtype=np.float64)[idx]
+    else:
+        scale_t = scale_next = np.ones(s)
+    e_mh = np.exp(-h)
+
+    pred_w = np.zeros((s, order))
+    corr_w = np.zeros((s, order + 1))
+    # effective predictor order at step k: ramp up with available history,
+    # ramp down at the end (final step first-order), as in dpm.py/diffusers
+    q = [min(order, k + 1, s - k) for k in range(s)]
+    lag_w = []                            # predictor Lagrange weights per k
+    for k in range(s):
+        deltas = lam_t[k - np.arange(q[k])] - lam_t[k]   # <= 0, delta_0 = 0
+        w = _lagrange_exp_weights(deltas, h[k])
+        lag_w.append(w)
+        pred_w[k, :q[k]] = scale_next[k] * w
+        # exact one-step (constant-x0) map under dynamic rescale:
+        # coefficient of a constant p must equal scale_next - e^{-h} scale_t
+        pred_w[k, 0] += e_mh[k] * (scale_next[k] - scale_t[k])
+        pred_w[k] *= alp_next[k]
+        if use_corrector and k > 0:
+            # correct the step (k-1 -> k): node set = predictor's U {h_{k-1}}
+            deltas_p = lam_t[k - 1 - np.arange(q[k - 1])] - lam_t[k - 1]
+            deltas_c = np.concatenate([[h[k - 1]], deltas_p])
+            wc = _lagrange_exp_weights(deltas_c, h[k - 1])
+            diff = wc - np.concatenate([[0.0], lag_w[k - 1]])
+            corr_w[k, :q[k - 1] + 1] = alp_next[k - 1] * scale_next[k - 1] \
+                * diff
+    f32 = lambda x: jnp.asarray(x, dtype=jnp.float32)
+    return {
+        "t": table.timesteps[jnp.asarray(idx)],
+        "a_t": f32(a_t),
+        "inv_scale": f32(1.0 / scale_t),
+        "sig_ratio": f32(sig_ratio),
+        "pred_w": f32(pred_w),
+        "corr_w": f32(corr_w),
+    }
+
+
+def unipc_sample(
+    model_fn: Callable,
+    x_T: jax.Array,
+    schedule: DiffusionSchedule,
+    table: DDIMTable,
+    settings: SamplerSettings,
+    *,
+    rng: Optional[jax.Array] = None,
+    mask: Optional[jax.Array] = None,
+    x0: Optional[jax.Array] = None,
+    mask_noise: Optional[jax.Array] = None,  # (S, *x.shape) q_sample blend
+) -> jax.Array:
+    """Run the full UniPC-style P(EC) loop; returns the final latent.
+
+    model_fn(x, t) must return the (already CFG-combined) model output —
+    the same contract as ddim_sample/dpm_sample, so make_cfg_denoiser
+    (batched or sequential CFG, multi-cond, guidance rescale) is shared.
+
+    The table must be a concrete (non-traced) DDIMTable built with eta=0;
+    like DPM++, this is the deterministic ODE path (settings.eta ignored).
+    settings.solver_order (1..3, default 3) and settings.use_corrector
+    select the scheme; order=1 without corrector IS the DDIM eta=0 map.
+
+    mask/x0: the same inpaint-style latent blending as ddim_sample
+    (reference ddim.py:173-180), applied before each model call.
+    """
+    if settings.deepcache > 1:
+        raise ValueError("deepcache is only certified with the DDIM "
+                         "sampler; run unipc without it")
+    if (settings.parameterization != "v"
+            and float(np.min(np.asarray(table.alphas))) < 1e-8):
+        raise ValueError(
+            "eps-parameterization with a zero-terminal-SNR schedule is "
+            "unsupported: x0 = (x - sigma*eps)/sqrt(alpha_bar) divides by "
+            "zero at the t=999 endpoint; use v-parameterization")
+    order = settings.solver_order
+    b = x_T.shape[0]
+
+    per_step = unipc_coeffs(table, order, settings.use_corrector)
+    if mask is not None and mask_noise is not None:
+        per_step["mask_noise"] = mask_noise
+
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    def _blend(x, key, step, t):
+        if mask is None:
+            return x, key
+        assert x0 is not None
+        if settings.clean_cond:
+            img_orig = x0
+        else:
+            mnoise = step.get("mask_noise")
+            if mnoise is None:
+                key, sub = jax.random.split(key)
+                mnoise = jax.random.normal(sub, x.shape, x.dtype)
+            img_orig = schedule.q_sample(x0, t, mnoise)
+        return img_orig * mask + (1.0 - mask) * x, key
+
+    def body(carry, step):
+        x, hist, key = carry              # hist: (order,) most-recent-first
+        t = jnp.full((b,), step["t"], dtype=jnp.int32)
+        x, key = _blend(x, key, step, t)
+        model_output = model_fn(x, t)
+        if settings.parameterization == "v":
+            m0 = schedule.predict_start_from_z_and_v(x, t, model_output)
+        else:
+            m0 = (x - jnp.sqrt(1.0 - step["a_t"]) * model_output) \
+                / jnp.sqrt(step["a_t"])
+        p = m0 * step["inv_scale"]        # underlying (unscaled) x0
+        nodes = (p,) + hist               # [p_k, p_{k-1}, ..., p_{k-order}]
+        # corrector for the previous step (coeff row is zeros at k=0)
+        for j in range(order + 1):
+            x = x + step["corr_w"][j] * nodes[j]
+        # predictor to the next node
+        xn = step["sig_ratio"] * x
+        for j in range(order):
+            xn = xn + step["pred_w"][j] * nodes[j]
+        return (xn, nodes[:order], key), None
+
+    hist0 = tuple(jnp.zeros_like(x_T) for _ in range(order))
+    (x, _, _), _ = jax.lax.scan(body, (x_T, hist0, rng), per_step)
+    return x

@@ -61,6 +61,7 @@ def run_config(mc, h, w, candidates, ref_steps, passes, dtype, real=None,
         CFGConditioning, SamplerSettings, ddim_sample, make_cfg_denoiser,
     )
     from dynamicrafter_tpu.sampling.dpm import dpm_sample
+    from dynamicrafter_tpu.sampling.unipc import unipc_sample
 
     from bench import _random_params  # noqa: E402  (same random-weight build)
 
@@ -122,7 +123,8 @@ def run_config(mc, h, w, candidates, ref_steps, passes, dtype, real=None,
             cfg_scale=7.5, cfg_img=1.5 if passes == 3 else None,
             guidance_rescale=0.7, parameterization=mc.parameterization,
             sampler=sampler, sequential_cfg=sequential_cfg)
-        fn = dpm_sample if sampler == "dpm" else ddim_sample
+        fn = {"dpm": dpm_sample, "ddim": ddim_sample,
+              "unipc": unipc_sample}[sampler]
 
         @jax.jit
         def run(params, c, x0):

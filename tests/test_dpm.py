@@ -161,7 +161,9 @@ def tiny_cfg_sampler():
         table = sched_lib.build_ddim_table(
             schedule, num_steps=steps, discretize="uniform_trailing", eta=0.0)
         fn = make_cfg_denoiser(unet_apply, params, cond, st)
-        sample = dpm_sample if sampler == "dpm" else ddim_sample
+        from dynamicrafter_tpu.sampling.unipc import unipc_sample
+        sample = {"dpm": dpm_sample, "ddim": ddim_sample,
+                  "unipc": unipc_sample}[sampler]
 
         @jax.jit
         def go(x0):

@@ -94,16 +94,17 @@ def test_sample_with_latent_mask(pipe):
     assert np.all(np.isfinite(out))
 
 
-def test_sample_dpm_sampler(pipe):
-    """sampler='dpm' runs end-to-end and, at matched many-step counts,
-    lands near the DDIM (eta=0) trajectory — they solve the same ODE."""
+@pytest.mark.parametrize("sampler", ["dpm", "unipc"])
+def test_sample_ode_samplers(pipe, sampler):
+    """sampler='dpm'/'unipc' runs end-to-end and, at matched many-step
+    counts, lands near the DDIM (eta=0) trajectory — same ODE."""
     kw = dict(steps=12, cfg_scale=2.0, eta=0.0,
               timestep_spacing="uniform_trailing", seed=42, decode=False)
-    z_dpm = pipe.sample(["x"], _videos(), sampler="dpm", **kw)
+    z_ode = pipe.sample(["x"], _videos(), sampler=sampler, **kw)
     z_ddim = pipe.sample(["x"], _videos(), sampler="ddim", **kw)
-    assert z_dpm.shape == z_ddim.shape
-    assert np.all(np.isfinite(z_dpm))
-    rel = (np.linalg.norm(z_dpm - z_ddim) / np.linalg.norm(z_ddim))
+    assert z_ode.shape == z_ddim.shape
+    assert np.all(np.isfinite(z_ode))
+    rel = (np.linalg.norm(z_ode - z_ddim) / np.linalg.norm(z_ddim))
     assert rel < 0.25, rel        # same ODE, different discretization
     assert rel > 1e-6, rel        # but not the identical code path
 
