@@ -86,7 +86,7 @@ class Image2Video:
         spec = self.spec
         fs = spec["fs"] if fs is None else fs  # `or` would swallow fs=0
         t = self.pipe.unet_config.temporal_length or 16
-        if sampler == "dpm":
+        if sampler != "ddim":
             deepcache = 1  # DeepCache is certified on DDIM only
         if deepcache > 1 and steps % deepcache != 0:
             # UI affordance: snap to the largest divisor of steps <= the
@@ -211,7 +211,7 @@ def launch_app(resolution: str = "320_512", ckpt_path: Optional[str] = None,
                               label="DeepCache interval (1 = off; N>1 "
                                     "reuses deep UNet features for faster, "
                                     "slightly approximate sampling)")
-        sampler = gr.Radio(["ddim", "dpm"], value="ddim",
+        sampler = gr.Radio(["ddim", "dpm", "unipc"], value="ddim",
                            label="Sampler (dpm = DPM-Solver++(2M): "
                                  "deterministic, DDIM-50 quality at ~30 "
                                  "steps; ignores ETA/DeepCache)")

@@ -516,6 +516,8 @@ class DynamiCrafterPipeline:
         x0_latents: Optional[np.ndarray] = None,
         log_every_t: Optional[int] = None,
         sampler: str = "ddim",
+        solver_order: int = 2,
+        use_corrector: bool = True,
     ):
         """Image-guided synthesis (reference inference.py:216-313).
 
@@ -528,7 +530,8 @@ class DynamiCrafterPipeline:
         sampler: "ddim" (the reference surface), "dpm" — DPM-Solver++(2M),
         a deterministic second-order solver of the same ODE (sampling/dpm.py)
         — or "unipc" — UniPC-style predictor-corrector (sampling/unipc.py);
-        eta/log_every_t/deepcache are DDIM-only.
+        eta/log_every_t/deepcache are DDIM-only. solver_order (1..3) and
+        use_corrector select the unipc scheme (ignored by ddim/dpm).
         """
         assert self.params is not None, "load or init params first"
         if log_every_t is not None and n_samples != 1:
@@ -560,6 +563,8 @@ class DynamiCrafterPipeline:
                 sequential_cfg=sequential_cfg,
                 deepcache=deepcache,
                 sampler=sampler,
+                solver_order=solver_order if sampler == "unipc" else 2,
+                use_corrector=use_corrector if sampler == "unipc" else True,
             )
             run = self._sampler(settings, log_every_t)
             variants = []

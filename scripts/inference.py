@@ -53,6 +53,9 @@ def get_parser():
                         "unipc = UniPC-style predictor-corrector, equal to "
                         "dpm at 30+ steps and measured ~5%% better at <=20 "
                         "(both beyond reference; ignore --ddim_eta)")
+    p.add_argument("--solver_order", type=int, default=2, choices=[1, 2, 3],
+                   help="unipc only: predictor order (2 = measured best "
+                        "under CFG guidance)")
     p.add_argument("--guidance_rescale", type=float, default=0.0)
     p.add_argument("--perframe_ae", action="store_true")
     p.add_argument("--use_fixed_scheduler", action="store_true",
@@ -177,6 +180,7 @@ def main(args=None, prompt_shard=(0, 1)):
             sequential_cfg=args.sequential_cfg or args.width >= 1024,
             deepcache=args.deepcache,
             sampler=args.sampler,
+            solver_order=args.solver_order,
         )
         vids = out.videos
         if args.loop:
