@@ -132,7 +132,10 @@ def dpm_sample(
     mask: Optional[jax.Array] = None,
     x0: Optional[jax.Array] = None,
     mask_noise: Optional[jax.Array] = None,  # (S, *x.shape) for q_sample blend
-) -> jax.Array:
+    coeffs=None,                  # precomputed/sliced per-step dict override
+    carry_in: Optional[jax.Array] = None,    # p_{-1} history entering a chunk
+    return_carry: bool = False,   # also return the final p history
+):
     """Run the full DPM-Solver++(2M) loop; returns the final latent.
 
     model_fn(x, t) must return the (already CFG-combined) model output —
@@ -145,6 +148,17 @@ def dpm_sample(
 
     mask/x0: the same inpaint-style latent blending as ddim_sample
     (reference ddim.py:173-180), applied before each model call.
+
+    coeffs/carry_in/return_carry: chunked-dispatch seam. A scan is one
+    device program; very long programs at large shapes can exceed what the
+    runtime tolerates in a single dispatch (observed: a 120-step 576x1024
+    scan crashes the tunneled TPU worker while 30-step chunks run fine).
+    Splitting at step boundaries is bit-exact — the scan carry (x, p_prev)
+    is the only cross-step state. Pass `coeffs` as a step-sliced
+    dpm_solver_pp_2m_coeffs(table) pytree, thread `carry_in`/`return_carry`
+    between chunks, and jit ONE chunk function (coeffs as arguments) so
+    every chunk reuses a single executable. scripts/dpm_certify.py is the
+    reference user.
     """
     if settings.deepcache > 1:
         raise ValueError("deepcache is only certified with the DDIM "
@@ -155,10 +169,9 @@ def dpm_sample(
             "eps-parameterization with a zero-terminal-SNR schedule is "
             "unsupported: x0 = (x - sigma*eps)/sqrt(alpha_bar) divides by "
             "zero at the t=999 endpoint; use v-parameterization")
-    s = table.num_steps
     b = x_T.shape[0]
 
-    per_step = dpm_solver_pp_2m_coeffs(table)
+    per_step = dpm_solver_pp_2m_coeffs(table) if coeffs is None else coeffs
     if mask is not None and mask_noise is not None:
         per_step["mask_noise"] = mask_noise
 
@@ -194,6 +207,6 @@ def dpm_sample(
              + step["order2"] * (p - p_prev))
         return (x, p, key), None
 
-    (x, _, _), _ = jax.lax.scan(
-        body, (x_T, jnp.zeros_like(x_T), rng), per_step)
-    return x
+    p0 = jnp.zeros_like(x_T) if carry_in is None else carry_in
+    (x, p_last, _), _ = jax.lax.scan(body, (x_T, p0, rng), per_step)
+    return (x, p_last) if return_carry else x

@@ -108,13 +108,24 @@ def run_config(mc, h, w, candidates, ref_steps, passes, dtype, real=None,
 
     @jax.jit
     def decode(z):  # (T, h, w, zc) -> (T, H, W, 3) fp32
-        return decoder.apply({"params": dparams}, z).astype(jnp.float32)
+        # per-frame decode (reference perframe_ae, ddpm3d.py:654-663): at
+        # 576x1024 decoding all 16 frames in one call exceeds device memory
+        # and crashes the TPU worker (observed; per-frame is how every
+        # serving path decodes 1024 too)
+        return jax.lax.map(
+            lambda zf: decoder.apply({"params": dparams}, zf[None])[0],
+            z).astype(jnp.float32)
 
     def unet_apply(p, xin, tsin, context_text, context_img, fs, **kw):
         return unet.apply({"params": p}, xin, tsin, context_text=context_text,
                           context_img=context_img, fs=fs, **kw)
 
     def sample(sampler, n_steps):
+        if sampler == "dpm":
+            # chunked dispatch (below) — the ref and every dpm candidate
+            # share one executable per chunk shape, so a candidate at
+            # ref_steps reproduces the reference bit-exactly
+            return sample_dpm_chunked(n_steps)
         table = sched_lib.build_ddim_table(
             schedule, num_steps=n_steps, discretize="uniform_trailing",
             eta=0.0)
@@ -123,8 +134,7 @@ def run_config(mc, h, w, candidates, ref_steps, passes, dtype, real=None,
             cfg_scale=7.5, cfg_img=1.5 if passes == 3 else None,
             guidance_rescale=0.7, parameterization=mc.parameterization,
             sampler=sampler, sequential_cfg=sequential_cfg)
-        fn = {"dpm": dpm_sample, "ddim": ddim_sample,
-              "unipc": unipc_sample}[sampler]
+        fn = {"ddim": ddim_sample, "unipc": unipc_sample}[sampler]
 
         @jax.jit
         def run(params, c, x0):
@@ -134,6 +144,43 @@ def run_config(mc, h, w, candidates, ref_steps, passes, dtype, real=None,
 
         z = run(uparams, cond, x_T)
         return np.asarray(z, np.float32), np.asarray(decode(z[0]))
+
+    def sample_dpm_chunked(n_steps, chunk=30):
+        """dpm@n_steps dispatched as <=chunk-step scan programs.
+
+        Bit-exact vs the single-scan path (the carry (x, p_prev) is the
+        only cross-step state; dpm_sample docstring). Needed because a
+        single 120-step 576x1024 program reproducibly crashes the tunneled
+        TPU worker while 30-step programs run fine; one jitted chunk
+        function (coefficients as arguments) serves every chunk shape.
+        """
+        from dynamicrafter_tpu.sampling.dpm import dpm_solver_pp_2m_coeffs
+
+        while n_steps % chunk:
+            chunk -= 1
+        table = sched_lib.build_ddim_table(
+            schedule, num_steps=n_steps, discretize="uniform_trailing",
+            eta=0.0)
+        settings = SamplerSettings(
+            steps=n_steps, discretize="uniform_trailing", eta=0.0,
+            cfg_scale=7.5, cfg_img=1.5 if passes == 3 else None,
+            guidance_rescale=0.7, parameterization=mc.parameterization,
+            sampler="dpm", sequential_cfg=sequential_cfg)
+        per = dpm_solver_pp_2m_coeffs(table)
+
+        @jax.jit
+        def run_chunk(params, c, x, p_prev, ch):
+            model_fn = make_cfg_denoiser(unet_apply, params, c, settings)
+            return dpm_sample(model_fn, x, schedule, table, settings,
+                              coeffs=ch, carry_in=p_prev, return_carry=True)
+
+        x = x_T.astype(jnp.float32)
+        p = jnp.zeros_like(x)
+        for k in range(n_steps // chunk):
+            ch = jax.tree_util.tree_map(
+                lambda a: a[k * chunk:(k + 1) * chunk], per)
+            x, p = run_chunk(uparams, cond, x, p, ch)
+        return np.asarray(x, np.float32), np.asarray(decode(x[0]))
 
     print(f"# reference dpm@{ref_steps} (compiling...)", flush=True)
     t0 = time.time()

@@ -35,14 +35,15 @@ def test_sharded_matches_single(pipes):
     np.testing.assert_allclose(z1, z2, atol=2e-4, rtol=0)
 
 
-def test_sharded_dpm_matches_single(pipes):
-    """The DPM++(2M) scan (elementwise update around the same sharded UNet
-    call) must also be device-count-invariant."""
+@pytest.mark.parametrize("sampler", ["dpm", "unipc"])
+def test_sharded_ode_sampler_matches_single(pipes, sampler):
+    """The DPM++(2M)/UniPC scans (elementwise updates around the same
+    sharded UNet call) must also be device-count-invariant."""
     single, sharded = pipes
     vids = np.random.default_rng(1).uniform(
         -1, 1, (1, 4, 16, 16, 3)).astype(np.float32)
     kw = dict(steps=3, cfg_scale=2.0, timestep_spacing="uniform_trailing",
-              seed=6, decode=False, sampler="dpm", eta=0.0)
+              seed=6, decode=False, sampler=sampler, eta=0.0)
     z1 = single.sample(["a boat"], vids, **kw)
     z2 = sharded.sample(["a boat"], vids, **kw)
     assert z1.shape == z2.shape
