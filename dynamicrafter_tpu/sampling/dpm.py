@@ -173,6 +173,12 @@ def dpm_sample(
 
     per_step = dpm_solver_pp_2m_coeffs(table) if coeffs is None else coeffs
     if mask is not None and mask_noise is not None:
+        if (coeffs is not None
+                and mask_noise.shape[0] != per_step["t"].shape[0]):
+            raise ValueError(
+                "chunked dispatch: mask_noise must be pre-sliced to the "
+                f"chunk length ({per_step['t'].shape[0]}), got "
+                f"{mask_noise.shape[0]} steps")
         per_step["mask_noise"] = mask_noise
 
     if rng is None:
