@@ -238,13 +238,15 @@ class ResolutionBench:
             ddim_sample, make_cfg_denoiser,
         )
         from dynamicrafter_tpu.sampling.dpm import dpm_sample
+        from dynamicrafter_tpu.sampling.unipc import unipc_sample
         from dynamicrafter_tpu.utils.timing import time_once
 
         settings = settings or self.settings
         table = self._sched_lib.build_ddim_table(
             self.schedule, num_steps=settings.steps,
             discretize=settings.discretize, eta=settings.eta)
-        sample_fn = dpm_sample if settings.sampler == "dpm" else ddim_sample
+        sample_fn = {"dpm": dpm_sample, "unipc": unipc_sample,
+                     "ddim": ddim_sample}[settings.sampler]
         dtype = self.dtype
 
         # Weights are passed as runtime args (the serving reality: weights
@@ -535,6 +537,21 @@ def main():
         detail[f"dpm{dpm_steps}_cfg_scan_s"] = round(dpm_s, 3)
         detail[f"e2e_clip_s_dpm{dpm_steps}"] = round(
             cond512_s + dpm_s + decode512_s, 2)
+        emit()
+
+    # UniPC low-NFE mode at 512 (opt-in): BENCH_UNIPC=N runs the
+    # predictor-corrector at N steps (sampling/unipc.py; quality rows in
+    # PARITY_RESULTS.md — a speed/quality trade, not DDIM-50-class).
+    unipc_steps = int(os.environ.get("BENCH_UNIPC", "0"))
+    if unipc_steps > 1 and not over_budget(
+            2.2 * (unipc_steps / STEPS) * scan512_s + compile512_s,
+            "unipc_512"):
+        up_settings = dataclasses.replace(
+            rb512.settings, steps=unipc_steps, eta=0.0, sampler="unipc")
+        up_s = rb512.measure_scan(settings=up_settings)
+        detail[f"unipc{unipc_steps}_cfg_scan_s"] = round(up_s, 3)
+        detail[f"e2e_clip_s_unipc{unipc_steps}"] = round(
+            cond512_s + up_s + decode512_s, 2)
         emit()
 
     # 1024 extras are opt-in: round 4 made them default and the combined
