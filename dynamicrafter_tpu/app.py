@@ -212,9 +212,11 @@ def launch_app(resolution: str = "320_512", ckpt_path: Optional[str] = None,
                                     "reuses deep UNet features for faster, "
                                     "slightly approximate sampling)")
         sampler = gr.Radio(["ddim", "dpm", "unipc"], value="ddim",
-                           label="Sampler (dpm = DPM-Solver++(2M): "
-                                 "deterministic, DDIM-50 quality at ~30 "
-                                 "steps; ignores ETA/DeepCache)")
+                           label="Sampler (dpm = DPM-Solver++(2M), DDIM-50 "
+                                 "quality at ~30 steps; unipc = low-NFE "
+                                 "predictor-corrector for <=20 steps; both "
+                                 "deterministic — ETA ignored, DeepCache "
+                                 "disabled)")
         import random as _random
         rnd.click(fn=lambda: _random.randint(0, max_seed), outputs=seed,
                   queue=False)

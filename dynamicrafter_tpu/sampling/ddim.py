@@ -174,6 +174,45 @@ def make_cfg_denoiser(
     return model_fn
 
 
+def make_mask_blend(schedule, settings, mask, x0):
+    """Inpaint-style latent blending closure (reference ddim.py:173-180),
+    shared by ddim_sample / dpm_sample / unipc_sample: replace the masked
+    region with (optionally noised) x0 before each model call."""
+
+    def blend(x, key, step, t):
+        if mask is None:
+            return x, key
+        assert x0 is not None
+        if settings.clean_cond:
+            img_orig = x0
+        else:
+            mnoise = step.get("mask_noise")
+            if mnoise is None:
+                key, sub = jax.random.split(key)
+                mnoise = jax.random.normal(sub, x.shape, x.dtype)
+            img_orig = schedule.q_sample(x0, t, mnoise)
+        return img_orig * mask + (1.0 - mask) * x, key
+
+    return blend
+
+
+def reject_ode_unsupported(settings: SamplerSettings, table: DDIMTable,
+                           sampler: str) -> None:
+    """Shared trace-time guards for the deterministic ODE solvers
+    (dpm/unipc): DeepCache quality certification is DDIM-only, and
+    eps-parameterization cannot recover x0 at a zero-terminal-SNR
+    endpoint (divides by sqrt(alpha_bar)=0 at t=999)."""
+    if settings.deepcache > 1:
+        raise ValueError("deepcache is only certified with the DDIM "
+                         f"sampler; run {sampler} without it")
+    if (settings.parameterization != "v"
+            and float(np.min(np.asarray(table.alphas))) < 1e-8):
+        raise ValueError(
+            "eps-parameterization with a zero-terminal-SNR schedule is "
+            "unsupported: x0 = (x - sigma*eps)/sqrt(alpha_bar) divides by "
+            "zero at the t=999 endpoint; use v-parameterization")
+
+
 def ddim_sample(
     model_fn: Callable,
     x_T: jax.Array,
@@ -227,20 +266,7 @@ def ddim_sample(
         per_step["slot"] = slots
 
     use_eta_noise = settings.eta > 0.0
-
-    def _blend(x, key, step, t):
-        if mask is None:
-            return x, key
-        assert x0 is not None
-        if settings.clean_cond:
-            img_orig = x0
-        else:
-            mnoise = step.get("mask_noise")
-            if mnoise is None:
-                key, sub = jax.random.split(key)
-                mnoise = jax.random.normal(sub, x.shape, x.dtype)
-            img_orig = schedule.q_sample(x0, t, mnoise)
-        return img_orig * mask + (1.0 - mask) * x, key
+    _blend = make_mask_blend(schedule, settings, mask, x0)
 
     def _update(x, key, step, t, model_output):
         if settings.parameterization == "v":

@@ -67,7 +67,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from dynamicrafter_tpu.schedule import DDIMTable, DiffusionSchedule
-from dynamicrafter_tpu.sampling.ddim import SamplerSettings
+from dynamicrafter_tpu.sampling.ddim import (
+    SamplerSettings,
+    make_mask_blend,
+    reject_ode_unsupported,
+)
 
 
 def _lambda_from_alpha_bar(a_bar: np.ndarray) -> np.ndarray:
@@ -153,50 +157,38 @@ def dpm_sample(
     device program; very long programs at large shapes can exceed what the
     runtime tolerates in a single dispatch (observed: a 120-step 576x1024
     scan crashes the tunneled TPU worker while 30-step chunks run fine).
-    Splitting at step boundaries is bit-exact — the scan carry (x, p_prev)
-    is the only cross-step state. Pass `coeffs` as a step-sliced
-    dpm_solver_pp_2m_coeffs(table) pytree, thread `carry_in`/`return_carry`
-    between chunks, and jit ONE chunk function (coeffs as arguments) so
-    every chunk reuses a single executable. scripts/dpm_certify.py is the
-    reference user.
+    Splitting at step boundaries is bit-exact for the maskless and
+    pre-drawn-mask_noise paths — there the scan carry (x, p_prev) is the
+    only cross-step state. (In-scan mask-noise draws also thread a PRNG
+    key through the scan; chunking would replay the same key per chunk,
+    so that combination is rejected — pass a pre-sliced mask_noise.)
+    Pass `coeffs` as a step-sliced dpm_solver_pp_2m_coeffs(table) pytree,
+    thread `carry_in`/`return_carry` between chunks, and jit ONE chunk
+    function (coeffs as arguments) so every chunk shape reuses a single
+    executable. scripts/dpm_certify.py is the reference user.
     """
-    if settings.deepcache > 1:
-        raise ValueError("deepcache is only certified with the DDIM "
-                         "sampler; run dpm++2m without it")
-    if (settings.parameterization != "v"
-            and float(np.min(np.asarray(table.alphas))) < 1e-8):
-        raise ValueError(
-            "eps-parameterization with a zero-terminal-SNR schedule is "
-            "unsupported: x0 = (x - sigma*eps)/sqrt(alpha_bar) divides by "
-            "zero at the t=999 endpoint; use v-parameterization")
+    reject_ode_unsupported(settings, table, "dpm++2m")
     b = x_T.shape[0]
 
     per_step = dpm_solver_pp_2m_coeffs(table) if coeffs is None else coeffs
-    if mask is not None and mask_noise is not None:
-        if (coeffs is not None
+    if coeffs is not None and mask is not None:
+        if mask_noise is None and not settings.clean_cond:
+            raise ValueError(
+                "chunked dispatch with a mask needs pre-drawn mask_noise "
+                "(in-scan noise draws would replay the PRNG key per chunk)")
+        if (mask_noise is not None
                 and mask_noise.shape[0] != per_step["t"].shape[0]):
             raise ValueError(
                 "chunked dispatch: mask_noise must be pre-sliced to the "
                 f"chunk length ({per_step['t'].shape[0]}), got "
                 f"{mask_noise.shape[0]} steps")
+    if mask is not None and mask_noise is not None:
         per_step["mask_noise"] = mask_noise
 
     if rng is None:
         rng = jax.random.PRNGKey(0)
 
-    def _blend(x, key, step, t):
-        if mask is None:
-            return x, key
-        assert x0 is not None
-        if settings.clean_cond:
-            img_orig = x0
-        else:
-            mnoise = step.get("mask_noise")
-            if mnoise is None:
-                key, sub = jax.random.split(key)
-                mnoise = jax.random.normal(sub, x.shape, x.dtype)
-            img_orig = schedule.q_sample(x0, t, mnoise)
-        return img_orig * mask + (1.0 - mask) * x, key
+    _blend = make_mask_blend(schedule, settings, mask, x0)
 
     def body(carry, step):
         x, p_prev, key = carry

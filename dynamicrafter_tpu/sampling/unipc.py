@@ -81,7 +81,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from dynamicrafter_tpu.schedule import DDIMTable, DiffusionSchedule
-from dynamicrafter_tpu.sampling.ddim import SamplerSettings
+from dynamicrafter_tpu.sampling.ddim import (
+    SamplerSettings,
+    make_mask_blend,
+    reject_ode_unsupported,
+)
 from dynamicrafter_tpu.sampling.dpm import _lambda_from_alpha_bar
 
 
@@ -124,7 +128,8 @@ def unipc_coeffs(table: DDIMTable, order: int, use_corrector: bool):
     [p_i (new), p_{i-1}, p_{i-2}, ...] correcting the PREVIOUS step's
     output (row 0 is zeros), plus t / a_t / inv_scale / sig_ratio.
     """
-    assert 1 <= order <= 3, "unipc supports solver orders 1..3"
+    if not 1 <= order <= 3:
+        raise ValueError(f"unipc supports solver orders 1..3, got {order}")
     s = table.num_steps
     idx = np.arange(s - 1, -1, -1)
     a_t = np.asarray(table.alphas, dtype=np.float64)[idx]
@@ -195,21 +200,14 @@ def unipc_sample(
 
     The table must be a concrete (non-traced) DDIMTable built with eta=0;
     like DPM++, this is the deterministic ODE path (settings.eta ignored).
-    settings.solver_order (1..3, default 3) and settings.use_corrector
-    select the scheme; order=1 without corrector IS the DDIM eta=0 map.
+    settings.solver_order (1..3, default 2 — the measured guided-sampling
+    best) and settings.use_corrector select the scheme; order=1 without
+    corrector IS the DDIM eta=0 map.
 
     mask/x0: the same inpaint-style latent blending as ddim_sample
     (reference ddim.py:173-180), applied before each model call.
     """
-    if settings.deepcache > 1:
-        raise ValueError("deepcache is only certified with the DDIM "
-                         "sampler; run unipc without it")
-    if (settings.parameterization != "v"
-            and float(np.min(np.asarray(table.alphas))) < 1e-8):
-        raise ValueError(
-            "eps-parameterization with a zero-terminal-SNR schedule is "
-            "unsupported: x0 = (x - sigma*eps)/sqrt(alpha_bar) divides by "
-            "zero at the t=999 endpoint; use v-parameterization")
+    reject_ode_unsupported(settings, table, "unipc")
     order = settings.solver_order
     b = x_T.shape[0]
 
@@ -220,19 +218,7 @@ def unipc_sample(
     if rng is None:
         rng = jax.random.PRNGKey(0)
 
-    def _blend(x, key, step, t):
-        if mask is None:
-            return x, key
-        assert x0 is not None
-        if settings.clean_cond:
-            img_orig = x0
-        else:
-            mnoise = step.get("mask_noise")
-            if mnoise is None:
-                key, sub = jax.random.split(key)
-                mnoise = jax.random.normal(sub, x.shape, x.dtype)
-            img_orig = schedule.q_sample(x0, t, mnoise)
-        return img_orig * mask + (1.0 - mask) * x, key
+    _blend = make_mask_blend(schedule, settings, mask, x0)
 
     def body(carry, step):
         x, hist, key = carry              # hist: (order,) most-recent-first

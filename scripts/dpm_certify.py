@@ -120,12 +120,10 @@ def run_config(mc, h, w, candidates, ref_steps, passes, dtype, real=None,
         return unet.apply({"params": p}, xin, tsin, context_text=context_text,
                           context_img=context_img, fs=fs, **kw)
 
-    def sample(sampler, n_steps):
-        if sampler == "dpm":
-            # chunked dispatch (below) — the ref and every dpm candidate
-            # share one executable per chunk shape, so a candidate at
-            # ref_steps reproduces the reference bit-exactly
-            return sample_dpm_chunked(n_steps)
+    def _mk(sampler, n_steps):
+        """One shared settings/table builder — the dpm (chunked) and
+        ddim/unipc paths must never drift apart on the CFG/schedule knobs
+        or every published quality comparison silently corrupts."""
         table = sched_lib.build_ddim_table(
             schedule, num_steps=n_steps, discretize="uniform_trailing",
             eta=0.0)
@@ -134,6 +132,26 @@ def run_config(mc, h, w, candidates, ref_steps, passes, dtype, real=None,
             cfg_scale=7.5, cfg_img=1.5 if passes == 3 else None,
             guidance_rescale=0.7, parameterization=mc.parameterization,
             sampler=sampler, sequential_cfg=sequential_cfg)
+        return table, settings
+
+    # ONE jitted chunk function for every dpm dispatch: the coefficients
+    # are arguments, so the dpm@ref reference and a dpm candidate at the
+    # same chunk shape literally share this executable — which is what
+    # makes a candidate at ref_steps reproduce the reference bit-exactly
+    # (and saves a redundant pass through the remote compiler).
+    _chunk_table, _chunk_settings = _mk("dpm", ref_steps)
+
+    @jax.jit
+    def run_chunk(params, c, x, p_prev, ch):
+        model_fn = make_cfg_denoiser(unet_apply, params, c, _chunk_settings)
+        return dpm_sample(model_fn, x, schedule, _chunk_table,
+                          _chunk_settings, coeffs=ch, carry_in=p_prev,
+                          return_carry=True)
+
+    def sample(sampler, n_steps):
+        if sampler == "dpm":
+            return sample_dpm_chunked(n_steps)
+        table, settings = _mk(sampler, n_steps)
         fn = {"ddim": ddim_sample, "unipc": unipc_sample}[sampler]
 
         @jax.jit
@@ -146,33 +164,21 @@ def run_config(mc, h, w, candidates, ref_steps, passes, dtype, real=None,
         return np.asarray(z, np.float32), np.asarray(decode(z[0]))
 
     def sample_dpm_chunked(n_steps, chunk=30):
-        """dpm@n_steps dispatched as <=chunk-step scan programs.
+        """dpm@n_steps dispatched as <=chunk-step scan programs through the
+        shared run_chunk executable.
 
-        Bit-exact vs the single-scan path (the carry (x, p_prev) is the
-        only cross-step state; dpm_sample docstring). Needed because a
-        single 120-step 576x1024 program reproducibly crashes the tunneled
-        TPU worker while 30-step programs run fine; one jitted chunk
-        function (coefficients as arguments) serves every chunk shape.
+        Bit-exact vs the single-scan path for this maskless setup (the
+        carry (x, p_prev) is the only cross-step state; dpm_sample
+        docstring). Needed because a single 120-step 576x1024 program
+        reproducibly crashes the tunneled TPU worker while 30-step
+        programs run fine.
         """
         from dynamicrafter_tpu.sampling.dpm import dpm_solver_pp_2m_coeffs
 
         while n_steps % chunk:
             chunk -= 1
-        table = sched_lib.build_ddim_table(
-            schedule, num_steps=n_steps, discretize="uniform_trailing",
-            eta=0.0)
-        settings = SamplerSettings(
-            steps=n_steps, discretize="uniform_trailing", eta=0.0,
-            cfg_scale=7.5, cfg_img=1.5 if passes == 3 else None,
-            guidance_rescale=0.7, parameterization=mc.parameterization,
-            sampler="dpm", sequential_cfg=sequential_cfg)
+        table, _ = _mk("dpm", n_steps)
         per = dpm_solver_pp_2m_coeffs(table)
-
-        @jax.jit
-        def run_chunk(params, c, x, p_prev, ch):
-            model_fn = make_cfg_denoiser(unet_apply, params, c, settings)
-            return dpm_sample(model_fn, x, schedule, table, settings,
-                              coeffs=ch, carry_in=p_prev, return_carry=True)
 
         x = x_T.astype(jnp.float32)
         p = jnp.zeros_like(x)

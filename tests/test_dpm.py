@@ -194,6 +194,49 @@ def test_dpm_tiny_unet_full_config(tiny_cfg_sampler):
     assert e_dpm50 < e_ddim50, (e_dpm50, e_ddim50)
 
 
+def test_dpm_chunked_dispatch_equals_single_scan():
+    """The coeffs/carry_in/return_carry seam (used by dpm_certify to keep
+    576x1024 programs under the runtime's single-dispatch limit) must be
+    bit-exact vs the one-scan path on the maskless route."""
+    from dynamicrafter_tpu.sampling.dpm import dpm_solver_pp_2m_coeffs
+
+    schedule = sched_lib.build_schedule(
+        timesteps=1000, parameterization="v", rescale_betas_zero_snr=True)
+    rng = np.random.default_rng(3)
+    mu = jnp.asarray(rng.standard_normal((1, 8)), jnp.float32)
+    x_T = jnp.asarray(rng.standard_normal((1, 8)), jnp.float32)
+    model_fn = _gaussian_model_fn(schedule, mu, 0.5, "v")
+    table = sched_lib.build_ddim_table(
+        schedule, num_steps=20, discretize="uniform_trailing", eta=0.0)
+    st = SamplerSettings(steps=20, discretize="uniform_trailing", eta=0.0,
+                         parameterization="v")
+    full = dpm_sample(model_fn, x_T, schedule, table, st)
+    per = dpm_solver_pp_2m_coeffs(table)
+    x, p = x_T, jnp.zeros_like(x_T)
+    for k in range(4):
+        ch = jax.tree_util.tree_map(lambda a: a[k * 5:(k + 1) * 5], per)
+        x, p = dpm_sample(model_fn, x, schedule, table, st,
+                          coeffs=ch, carry_in=p, return_carry=True)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(x))
+
+
+def test_dpm_chunked_mask_requires_presliced_noise():
+    """In-scan mask-noise draws thread a PRNG key through the scan, which
+    chunking would replay per chunk — rejected with a clear error."""
+    from dynamicrafter_tpu.sampling.dpm import dpm_solver_pp_2m_coeffs
+
+    schedule = sched_lib.build_schedule(timesteps=1000)
+    table = sched_lib.build_ddim_table(schedule, num_steps=10,
+                                       discretize="uniform", eta=0.0)
+    per = dpm_solver_pp_2m_coeffs(table)
+    ch = jax.tree_util.tree_map(lambda a: a[:5], per)
+    z = jnp.zeros((1, 4))
+    with pytest.raises(ValueError, match="pre-drawn mask_noise"):
+        dpm_sample(lambda x, t: x, z, schedule, table,
+                   SamplerSettings(steps=10, parameterization="eps"),
+                   coeffs=ch, mask=jnp.ones_like(z), x0=z)
+
+
 def test_dpm_rejects_deepcache():
     schedule = sched_lib.build_schedule(timesteps=1000)
     table = sched_lib.build_ddim_table(schedule, num_steps=10,
