@@ -554,6 +554,25 @@ def main():
             cond512_s + up_s + decode512_s, 2)
         emit()
 
+    # Certified 1024 fast mode (default row): dpm@40 is the quality-
+    # certified DDIM-50-class setting at 576x1024 (PARITY_RESULTS.md —
+    # dpm@30 only reaches ddim@30-class there). Budget-guarded like every
+    # optional row, so a cold compile cache skips it instead of costing
+    # the driver its run. BENCH_DPM_1024=0 disables, =N overrides.
+    dpm1024_steps = int(os.environ.get("BENCH_DPM_1024", "40"))
+    if dpm1024_steps > 1 \
+            and os.environ.get("BENCH_SKIP_1024", "0") != "1" \
+            and not over_budget(
+                2.2 * (dpm1024_steps / STEPS) * scan1024_s + compile1024_s,
+                "dpm_1024_certified"):
+        dps = dataclasses.replace(
+            rb1024.settings, steps=dpm1024_steps, eta=0.0, sampler="dpm")
+        dpm1024_s = rb1024.measure_scan(settings=dps, repeats=1)
+        detail[f"dpm{dpm1024_steps}_cfg_scan_s_1024"] = round(dpm1024_s, 3)
+        detail[f"e2e_clip_s_dpm{dpm1024_steps}_1024"] = round(
+            cond1024_s + dpm1024_s + decode1024_s, 2)
+        emit()
+
     # 1024 extras are opt-in: round 4 made them default and the combined
     # device time alone (~4.5 min on top of ~7) blew the driver's timeout.
     if os.environ.get("BENCH_1024_EXTRAS", "0") == "1" \
@@ -584,8 +603,8 @@ def main():
                 cond1024_s + dpm1024_s + decode1024_s, 2)
             emit()
     elif os.environ.get("BENCH_SKIP_1024", "0") != "1":
-        skipped.append("1024 deepcache/dpm/alt-cfg rows (opt-in: "
-                       "BENCH_1024_EXTRAS=1)")
+        skipped.append("1024 deepcache/alt-cfg (+BENCH_DPM-step dpm) rows "
+                       "(opt-in: BENCH_1024_EXTRAS=1)")
 
     # opt-in: the reference's third headline row — 256x256, DDIM-50,
     # perframe_ae=False i.e. batched decode, 10 s/clip on A100
